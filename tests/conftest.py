@@ -1,0 +1,31 @@
+"""Test harness configuration.
+
+The unit suite runs on CPU with 8 virtual devices (SURVEY.md §4b: distributed
+logic is tested on a forced-host-platform mesh; Pallas kernels run in
+interpret mode on CPU). Real-TPU kernel checks live in tests that spawn a
+subprocess with the default platform (see test_tpu_smoke.py) so one pytest
+process never mixes backends.
+
+Must run before jax is imported anywhere — pytest loads conftest first.
+"""
+
+import os
+import sys
+
+# Force CPU regardless of the ambient JAX_PLATFORMS (the sandbox pre-sets
+# "axon", and a sitecustomize hook re-registers the axon plugin in every
+# process, overriding the env var — the programmatic config update below is
+# what actually wins). Real-TPU checks run in subprocesses (test_tpu_smoke.py).
+os.environ["TPU_ICP_SLAM_AMBIENT_PLATFORM"] = os.environ.get("JAX_PLATFORMS", "")
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
