@@ -1,0 +1,129 @@
+"""Command-line interface (SURVEY.md §2b N22) — run / align / bench / eval.
+
+The reference's entry point was a GLFW app `main(argc, argv)` (SURVEY.md §2a
+R2; mount empty, §0). Headless TPU equivalent: subcommands over the same
+capabilities, with map renders written as PNG artifacts instead of a window.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _parse_overrides(pairs: list[str]) -> dict:
+    out = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"override must be key=value, got: {p}")
+        k, v = p.split("=", 1)
+        out[k.lstrip("-")] = v
+    return out
+
+
+def cmd_align(args) -> int:
+    import numpy as np
+
+    from tpu_icp_slam.config import ICPConfig
+    from tpu_icp_slam.core import pointcloud as pcm
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.eval import metrics
+    from tpu_icp_slam.icp import align
+
+    src, dst, T_gt = synthetic.two_scan_pair(
+        n=args.n, seed=args.seed, noise=args.noise
+    )
+    cfg = ICPConfig(
+        max_iters=args.max_iters, nn_backend=args.nn_backend, tol=1e-6
+    )
+    t0 = time.perf_counter()
+    res = align(pcm.make(src, args.n), pcm.make(dst, args.n), cfg=cfg)
+    res.T.block_until_ready()
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = align(pcm.make(src, args.n), pcm.make(dst, args.n), cfg=cfg)
+    res.T.block_until_ready()
+    t_steady = time.perf_counter() - t0
+    rot_err, trans_err = metrics.transform_error(
+        np.asarray(res.T, np.float64), T_gt
+    )
+    report = {
+        "n_points": args.n,
+        "iters": int(res.iters),
+        "rmse": float(res.rmse),
+        "n_inliers": int(res.n_inliers),
+        "converged": bool(res.converged),
+        "rot_err_rad": rot_err,
+        "trans_err_m": trans_err,
+        "recovered_under_1e-3": bool(rot_err < 1e-3 and trans_err < 1e-3),
+        "time_first_call_s": round(t_first, 4),
+        "time_steady_s": round(t_steady, 4),
+    }
+    print(json.dumps(report, indent=2))
+    return 0 if report["recovered_under_1e-3"] else 1
+
+
+def cmd_run(args) -> int:
+    from tpu_icp_slam.slam.runner import run_from_cli
+
+    return run_from_cli(args)
+
+
+def cmd_bench(args) -> int:
+    from tpu_icp_slam.obs.bench import bench_from_cli
+
+    return bench_from_cli(args)
+
+
+def cmd_eval(args) -> int:
+    from tpu_icp_slam.eval.runner import eval_from_cli
+
+    return eval_from_cli(args)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="tpu-icp-slam")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    a = sub.add_parser("align", help="two-cloud ICP alignment demo (config 1)")
+    a.add_argument("--n", type=int, default=4096)
+    a.add_argument("--seed", type=int, default=0)
+    a.add_argument("--noise", type=float, default=0.0)
+    a.add_argument("--max-iters", type=int, default=60)
+    a.add_argument("--nn-backend", default="auto", choices=["auto", "pallas", "xla"])
+    a.set_defaults(fn=cmd_align)
+
+    r = sub.add_parser("run", help="full SLAM over a dataset/log")
+    r.add_argument("--dataset", default="sim2d", help="sim2d | sim3d | simrgbd | path to a real log (.clf / TUM dir / KITTI dir)")
+    r.add_argument("--frames", type=int, default=60)
+    r.add_argument("--config", default=None, help="JSON config file")
+    r.add_argument("--out", default="out", help="artifact directory")
+    r.add_argument("--resume", action="store_true")
+    r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("overrides", nargs="*", help="dotted config overrides k=v")
+    r.set_defaults(fn=cmd_run)
+
+    b = sub.add_parser("bench", help="frames/s benchmark harness")
+    b.add_argument("--config-id", type=int, default=1, choices=[1, 2, 3, 4, 5])
+    b.add_argument("--frames", type=int, default=50)
+    b.add_argument("--json", action="store_true", help="one-line JSON output")
+    b.set_defaults(fn=cmd_bench)
+
+    e = sub.add_parser("eval", help="trajectory accuracy evaluation")
+    e.add_argument("--dataset", default="sim2d")
+    e.add_argument("--frames", type=int, default=60)
+    e.set_defaults(fn=cmd_eval)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if hasattr(args, "overrides"):
+        args.override_dict = _parse_overrides(args.overrides)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

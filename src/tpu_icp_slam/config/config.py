@@ -1,0 +1,158 @@
+"""Frozen-dataclass config tree (SURVEY.md §2b N21).
+
+The reference used hard-coded constants + argv (SURVEY.md §5 "Config/flag
+system"; mount empty, §0). Here: one immutable `SlamConfig` tree, JSON file
+round-trip, dotted CLI overrides ("--icp.max_iters=30"), and a stable hash
+recorded in metrics and checkpoints.
+
+All configs are hashable (frozen) so they can be jit static arguments.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Any
+
+
+@dataclasses.dataclass(frozen=True)
+class ICPConfig:
+    method: str = "point_to_point"  # point_to_point | point_to_plane | projective
+    max_iters: int = 30
+    tol: float = 1e-6  # convergence: |rmse_prev - rmse| < tol
+    max_corr_dist: float = 1e9  # correspondence distance gate (meters)
+    normal_gate_cos: float = -1.0  # reject pairs with normal dot < this
+    damping: float = 1e-6  # Levenberg damping for the 6x6 GN solve
+    nn_backend: str = "auto"  # auto | pallas | xla
+    nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
+    huber_delta: float = 0.0  # 0 = plain least squares
+
+
+@dataclasses.dataclass(frozen=True)
+class MappingConfig:
+    # 2D occupancy grid
+    grid_size: int = 512  # cells per side
+    grid_resolution: float = 0.05  # meters per cell
+    logodds_hit: float = 0.9
+    logodds_free: float = -0.4
+    logodds_clip: float = 10.0
+    ray_samples: int = 128  # free-space samples per beam
+    # 3D voxel keyframe map
+    map_capacity: int = 65536  # max points in the global map
+    local_model_size: int = 16384  # points extracted for scan-to-map ICP
+    map_voxel: float = 0.4  # dedup voxel size (meters)
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    mode: str = "scan_to_scan"  # scan_to_scan | scan_to_map
+    scan_capacity: int = 4096  # padded size of each input scan
+    keyframe_trans: float = 1.0  # new keyframe after this much translation
+    keyframe_rot: float = 0.3  # ... or this much rotation (rad)
+    motion_model: str = "constant_velocity"  # constant_velocity | identity
+    downsample_voxel: float = 0.0  # 0 = off (host-side preprocessing)
+
+
+@dataclasses.dataclass(frozen=True)
+class BackendConfig:
+    enabled: bool = False
+    descriptor_rings: int = 20
+    descriptor_sectors: int = 60
+    candidate_topk: int = 4
+    min_loop_separation: int = 20  # keyframes
+    verify_max_rmse: float = 0.5
+    pg_iters: int = 10
+    pg_damping: float = 1e-6
+    huber_delta: float = 1.0
+    max_keyframes: int = 512
+    max_factors: int = 2048
+
+
+@dataclasses.dataclass(frozen=True)
+class DistConfig:
+    mesh_axes: tuple = ("hosts",)
+    mesh_shape: tuple = (1,)
+    shard_points: bool = False  # shard the NN source axis across devices
+
+
+@dataclasses.dataclass(frozen=True)
+class BenchConfig:
+    warmup: int = 3
+    frames: int = 50
+    repeats: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
+    mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
+    pipeline: PipelineConfig = dataclasses.field(default_factory=PipelineConfig)
+    backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
+    dist: DistConfig = dataclasses.field(default_factory=DistConfig)
+    bench: BenchConfig = dataclasses.field(default_factory=BenchConfig)
+
+
+def _to_dict(cfg) -> Any:
+    if dataclasses.is_dataclass(cfg):
+        return {f.name: _to_dict(getattr(cfg, f.name)) for f in dataclasses.fields(cfg)}
+    if isinstance(cfg, tuple):
+        return list(cfg)
+    return cfg
+
+
+def _from_dict(cls, d: dict):
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in d:
+            continue
+        v = d[f.name]
+        if dataclasses.is_dataclass(f.type) or (
+            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
+        ):
+            kwargs[f.name] = _from_dict(f.type, v)
+        elif isinstance(v, list):
+            kwargs[f.name] = tuple(v)
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+def to_json(cfg: SlamConfig) -> str:
+    return json.dumps(_to_dict(cfg), indent=2, sort_keys=True)
+
+
+def from_json(s: str) -> SlamConfig:
+    return _from_dict(SlamConfig, json.loads(s))
+
+
+def config_hash(cfg: SlamConfig) -> str:
+    return hashlib.sha256(to_json(cfg).encode()).hexdigest()[:12]
+
+
+def override(cfg: SlamConfig, dotted: dict[str, Any]) -> SlamConfig:
+    """Apply {"icp.max_iters": 50, ...} dotted overrides immutably."""
+    d = _to_dict(cfg)
+    for key, value in dotted.items():
+        parts = key.split(".")
+        node = d
+        for p in parts[:-1]:
+            node = node[p]
+        leaf = parts[-1]
+        if leaf not in node:
+            raise KeyError(f"unknown config key: {key}")
+        old = node[leaf]
+        if old is not None and not isinstance(old, type(value)):
+            # coerce strings from CLI
+            if isinstance(old, bool):
+                value = str(value).lower() in ("1", "true", "yes")
+            elif isinstance(old, int):
+                value = int(value)
+            elif isinstance(old, float):
+                value = float(value)
+            elif isinstance(old, (list, tuple)):
+                value = tuple(
+                    json.loads(value) if isinstance(value, str) else value
+                )
+        node[leaf] = value
+    return _from_dict(SlamConfig, d)

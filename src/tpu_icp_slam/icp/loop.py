@@ -1,0 +1,124 @@
+"""The ICP iteration driver: a single `lax.while_loop` on device (N9).
+
+The reference's hot loop relaunched CUDA kernels per iteration with
+per-iteration device→host copies of the reduced statistics (SURVEY.md §3a;
+mount empty, §0). Here the whole iteration — correspondence, gating, solve,
+pose update, convergence test — stays inside one compiled while_loop: the
+host sees exactly one dispatch per `align` call, which is what the ≥3×
+frames/s target rides on (SURVEY.md §3c).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpu_icp_slam.config import ICPConfig
+from tpu_icp_slam.core.pointcloud import PointCloud
+from tpu_icp_slam.icp.point_to_point import umeyama_masked
+from tpu_icp_slam.icp.point_to_plane import gauss_newton_step
+from tpu_icp_slam.kernels.nn import nearest_neighbor
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class ICPResult:
+    T: jnp.ndarray  # (D+1, D+1) transform: dst_frame <- src_frame
+    rmse: jnp.ndarray  # inlier RMS correspondence distance at convergence
+    iters: jnp.ndarray  # iterations executed
+    n_inliers: jnp.ndarray  # gated correspondences in the final iteration
+    converged: jnp.ndarray  # bool: tol reached before max_iters
+
+
+def _nn_correspondence(cfg: ICPConfig, dst: PointCloud):
+    """Returns corr(points) -> (q, n, w_gate, d2): NN into dst + distance gate."""
+    max_d2 = cfg.max_corr_dist * cfg.max_corr_dist
+
+    def corr(cur_pts: jnp.ndarray):
+        idx, _ = nearest_neighbor(
+            cur_pts, dst.points, backend=cfg.nn_backend, chunk=cfg.nn_chunk
+        )
+        q = dst.points[idx]
+        n = dst.normals[idx] if dst.normals is not None else None
+        # recompute distances in difference form: the kernel's factored
+        # ‖a‖²+‖b‖²−2ab suffers f32 cancellation (~1e-3 floor at scene scale),
+        # fine for argmin but not for gating thresholds or the reported rmse
+        diff = cur_pts - q
+        d2 = jnp.sum(diff * diff, axis=-1)
+        gate = (d2 <= max_d2).astype(cur_pts.dtype)
+        return q, n, gate, d2
+
+    return corr
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def align(
+    src: PointCloud,
+    dst: PointCloud,
+    init_T: Optional[jnp.ndarray] = None,
+    cfg: ICPConfig = ICPConfig(),
+) -> ICPResult:
+    """Align src onto dst: returns T such that T @ src ≈ dst (least squares)."""
+    corr_fn = _nn_correspondence(cfg, dst)
+    return align_with_correspondence(src, corr_fn, init_T, cfg)
+
+
+def align_with_correspondence(
+    src: PointCloud,
+    corr_fn: Callable,
+    init_T: Optional[jnp.ndarray],
+    cfg: ICPConfig,
+) -> ICPResult:
+    """ICP with a pluggable correspondence function (NN / projective / map).
+
+    corr_fn(cur_pts (M,D)) -> (q (M,D) targets, n (M,D) normals or None,
+    gate (M,) 0/1 weights, d2 (M,) squared distances).
+    Not jitted itself — call under jit (align above) or inside a pipeline step.
+    """
+    d = src.dim
+    dtype = src.points.dtype
+    T0 = jnp.eye(d + 1, dtype=dtype) if init_T is None else init_T.astype(dtype)
+    src_mask_f = src.mask.astype(dtype)
+    # Huber weights operate on distances; delta<=0 disables
+    huber = cfg.huber_delta
+
+    def body(state):
+        T, prev_rmse, _, it, _, _ = state
+        cur = src.points @ T[:d, :d].T + T[:d, d]
+        q, n, gate, d2 = corr_fn(cur)
+        w = gate * src_mask_f
+        if huber > 0.0:
+            dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+            w = w * jnp.minimum(1.0, huber / dist)
+        n_inl = jnp.sum((w > 0).astype(jnp.int32))
+        if cfg.method == "point_to_plane":
+            if n is None:
+                raise ValueError("point_to_plane requires target normals")
+            dT = gauss_newton_step(cur, q, n, w, damping=cfg.damping)
+        else:
+            dT = umeyama_masked(cur, q, w)
+        T_new = dT @ T
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        rmse = jnp.sqrt(jnp.sum(w * d2) / wsum)
+        converged = jnp.abs(prev_rmse - rmse) < cfg.tol
+        return (T_new, rmse, rmse, it + 1, n_inl, converged)
+
+    def cond(state):
+        _, _, _, it, _, converged = state
+        return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(converged))
+
+    init = (
+        T0,
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(jnp.inf, dtype),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(False),
+    )
+    T, rmse, _, iters, n_inl, converged = lax.while_loop(cond, body, init)
+    return ICPResult(T=T, rmse=rmse, iters=iters, n_inliers=n_inl, converged=converged)

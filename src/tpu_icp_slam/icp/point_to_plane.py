@@ -1,0 +1,62 @@
+"""Point-to-plane Gauss-Newton step (N6) — XLA path.
+
+Per-correspondence residual r = nᵀ(p − q) with Jacobian row [nᵀ, (p×n)ᵀ]
+(translation first, matching core.se3 tangent order). The 6×6 normal
+equations H = Jᵀ diag(w) J are a masked matmul reduction — MXU-native; the
+Pallas fused version (kernels/gn_accum_pallas.py) accumulates H and g in one
+pass for large M. The solve is a tiny damped Cholesky.
+
+Capability required by BASELINE.json config 3; the reference had only
+point-to-point (SURVEY.md §2a R4/R5).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpu_icp_slam.core import se2, se3
+
+
+def build_normal_equations(
+    p: jnp.ndarray, q: jnp.ndarray, n: jnp.ndarray, w: jnp.ndarray
+):
+    """H (K, K), g (K,) for K = 6 (3D) or 3 (2D); fp32 matmul reductions."""
+    d = p.shape[-1]
+    r = jnp.sum(n * (p - q), axis=-1)  # (M,)
+    if d == 3:
+        J = jnp.concatenate([n, jnp.cross(p, n)], axis=-1)  # (M, 6)
+    elif d == 2:
+        cross2 = p[..., 0] * n[..., 1] - p[..., 1] * n[..., 0]
+        J = jnp.concatenate([n, cross2[..., None]], axis=-1)  # (M, 3)
+    else:
+        raise ValueError(f"unsupported dim {d}")
+    Jw = J * w[..., None]
+    H = J.T @ Jw  # (K, K)
+    g = Jw.T @ r  # (K,)
+    return H, g
+
+
+def solve_increment(H: jnp.ndarray, g: jnp.ndarray, damping: float) -> jnp.ndarray:
+    k = H.shape[0]
+    Hd = H + damping * jnp.eye(k, dtype=H.dtype) * jnp.maximum(
+        jnp.trace(H) / k, 1.0
+    )
+    L = jnp.linalg.cholesky(Hd)
+    y = jnp.linalg.solve(L, -g[:, None])
+    xi = jnp.linalg.solve(L.T, y)[:, 0]
+    # guard against NaNs from a singular system: fall back to zero update
+    return jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+
+
+def gauss_newton_step(
+    p: jnp.ndarray,
+    q: jnp.ndarray,
+    n: jnp.ndarray,
+    w: jnp.ndarray,
+    damping: float = 1e-6,
+) -> jnp.ndarray:
+    """One damped GN update: returns dT (D+1, D+1) to left-compose onto T."""
+    d = p.shape[-1]
+    H, g = build_normal_equations(p, q, n, w)
+    xi = solve_increment(H, g, damping)
+    return se3.exp(xi) if d == 3 else se2.exp(xi)

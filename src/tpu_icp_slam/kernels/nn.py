@@ -1,0 +1,39 @@
+"""Nearest-neighbor dispatch: Pallas TPU kernel or XLA fallback.
+
+`nearest_neighbor(src, dst, backend=...)`:
+  - "pallas": the tiled MXU kernel (kernels/nn_pallas.py)
+  - "xla":    the chunked distance-matrix fallback (kernels/nn_xla.py)
+  - "auto":   pallas on TPU backends, xla elsewhere (CPU tests, debugging)
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_icp_slam.kernels.nn_xla import nn_bruteforce_xla
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def nearest_neighbor(
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    backend: str = "auto",
+    chunk: int = 2048,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(M, D), (N, D) -> (idx (M,) int32, dist_sq (M,) f32)."""
+    if backend == "auto":
+        backend = "pallas" if _on_tpu() else "xla"
+    if backend == "pallas":
+        from tpu_icp_slam.kernels.nn_pallas import nn_bruteforce_pallas
+
+        return nn_bruteforce_pallas(src, dst)
+    if backend == "xla":
+        return nn_bruteforce_xla(src, dst, chunk=chunk)
+    raise ValueError(f"unknown NN backend: {backend}")
