@@ -95,7 +95,7 @@ def align_with_correspondence(
         if huber > 0.0:
             dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
             w = w * jnp.minimum(1.0, huber / dist)
-        n_inl = jnp.sum((w > 0).astype(jnp.int32))
+        n_inl = jnp.sum(w > 0, dtype=jnp.int32)
         if cfg.method == "point_to_plane":
             if n is None:
                 raise ValueError("point_to_plane requires target normals")

@@ -29,3 +29,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# x64 for the whole suite: fp64 oracles need it, and enabling it per-module
+# leaks into other modules anyway (global config). Library code pins explicit
+# f32 dtypes, so it must stay correct under x64 — which is itself a property
+# worth testing.
+jax.config.update("jax_enable_x64", True)

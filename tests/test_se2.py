@@ -4,7 +4,6 @@ import numpy as np
 
 from tpu_icp_slam.core import se2
 
-jax.config.update("jax_enable_x64", True)
 
 
 def test_exp_log_roundtrip():

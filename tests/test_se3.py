@@ -5,7 +5,6 @@ import pytest
 
 from tpu_icp_slam.core import se3
 
-jax.config.update("jax_enable_x64", True)
 
 
 def random_xi(rng, scale=1.0, n=()):
