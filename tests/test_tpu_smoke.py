@@ -1,0 +1,58 @@
+"""Real-TPU smoke: the Pallas NN kernel and the jitted ICP loop compile and
+run on the ambient (axon) TPU. Runs in a subprocess so the CPU-pinned pytest
+process never initializes the TPU backend (SURVEY.md §4b).
+
+Skipped when no TPU platform is ambient (e.g. plain CPU CI).
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+_SCRIPT = r"""
+import numpy as np, jax, jax.numpy as jnp
+assert jax.devices()[0].platform == "tpu", jax.devices()
+from tpu_icp_slam.config import ICPConfig
+from tpu_icp_slam.core import pointcloud as pcm
+from tpu_icp_slam.datasets import synthetic
+from tpu_icp_slam.eval import metrics
+from tpu_icp_slam.icp import align
+from tpu_icp_slam.kernels.nn_pallas import nn_bruteforce_pallas
+
+rng = np.random.default_rng(0)
+src = jnp.asarray(rng.uniform(-5, 5, (256, 3)), jnp.float32)
+dst = jnp.asarray(rng.uniform(-5, 5, (300, 3)), jnp.float32)
+idx, d2 = nn_bruteforce_pallas(src, dst, tile_m=128, tile_n=256)
+D = ((np.asarray(src)[:, None, :] - np.asarray(dst)[None, :, :]) ** 2).sum(-1)
+picked = D[np.arange(256), np.asarray(idx)]
+assert np.allclose(picked, D.min(1), rtol=1e-3, atol=1e-3), "pallas NN wrong on TPU"
+
+s, d, T_gt = synthetic.two_scan_pair(n=512, seed=1, rot_scale=0.2, trans_scale=0.3)
+res = align(pcm.make(s, 512), pcm.make(d, 512),
+            cfg=ICPConfig(max_iters=25, tol=1e-6, nn_backend="pallas"))
+rot_err, trans_err = metrics.transform_error(np.asarray(res.T, np.float64), T_gt)
+assert rot_err < 2e-3 and trans_err < 2e-3, (rot_err, trans_err)
+print("TPU_SMOKE_OK")
+"""
+
+
+@pytest.mark.skipif(
+    "axon" not in os.environ.get("TPU_ICP_SLAM_AMBIENT_PLATFORM", ""),
+    reason="no ambient TPU platform",
+)
+def test_pallas_and_icp_on_real_tpu():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = env.pop("TPU_ICP_SLAM_AMBIENT_PLATFORM")
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "src")
+    env["PYTHONPATH"] = src_dir + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "TPU_SMOKE_OK" in proc.stdout
