@@ -13,6 +13,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import json
+import typing
 from typing import Any
 
 
@@ -102,15 +103,17 @@ def _to_dict(cfg) -> Any:
 
 
 def _from_dict(cls, d: dict):
+    # field annotations are strings under `from __future__ import annotations`
+    # — resolve them to real types before recursing
+    hints = typing.get_type_hints(cls)
     kwargs = {}
     for f in dataclasses.fields(cls):
         if f.name not in d:
             continue
         v = d[f.name]
-        if dataclasses.is_dataclass(f.type) or (
-            isinstance(f.type, type) and dataclasses.is_dataclass(f.type)
-        ):
-            kwargs[f.name] = _from_dict(f.type, v)
+        ftype = hints.get(f.name, f.type)
+        if isinstance(ftype, type) and dataclasses.is_dataclass(ftype):
+            kwargs[f.name] = _from_dict(ftype, v)
         elif isinstance(v, list):
             kwargs[f.name] = tuple(v)
         else:

@@ -1,0 +1,2 @@
+from tpu_icp_slam.obs.metrics import MetricsLogger  # noqa: F401
+from tpu_icp_slam.obs.timers import Timer, timed  # noqa: F401

@@ -1,0 +1,209 @@
+"""Dataset-to-trajectory runner behind `cli run` / `cli eval` (N12/N22 glue).
+
+Loads a dataset (synthetic generators or real-format files), pads scans to
+static shapes, drives the pipeline (fused scan on device, or streaming), and
+writes artifacts: trajectory .npz, map render .png, metrics .jsonl — the
+headless equivalents of the reference app's window (SURVEY.md §2a R2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import numpy as np
+
+from tpu_icp_slam.config import SlamConfig, config_hash, from_json, override
+from tpu_icp_slam.core.pointcloud import PAD_COORD
+from tpu_icp_slam.datasets import synthetic
+from tpu_icp_slam.obs import MetricsLogger, Timer
+
+
+@dataclasses.dataclass
+class LoadedDataset:
+    scans: list  # list of (N_i, D) float arrays (sensor frame)
+    gt_poses: Optional[np.ndarray]  # (F, D+1, D+1) or None
+    dim: int
+    name: str
+
+
+def load_dataset(spec: str, frames: int, seed: int = 0) -> LoadedDataset:
+    if spec == "sim2d":
+        log = synthetic.lidar2d_log(n_frames=frames, n_beams=360, seed=seed, noise=0.002)
+        scans = [
+            synthetic.scan_to_points(log.ranges[i], log.angles, log.max_range)
+            for i in range(len(log.ranges))
+        ]
+        return LoadedDataset(scans=scans, gt_poses=log.gt_poses, dim=2, name="sim2d")
+    if spec == "sim2d_loop":
+        log = synthetic.lidar2d_log(
+            n_frames=frames, n_beams=360, seed=seed, noise=0.002, loop=True
+        )
+        scans = [
+            synthetic.scan_to_points(log.ranges[i], log.angles, log.max_range)
+            for i in range(len(log.ranges))
+        ]
+        return LoadedDataset(scans=scans, gt_poses=log.gt_poses, dim=2, name="sim2d_loop")
+    if spec in ("sim3d", "sim3d_loop"):
+        scans, poses = synthetic.velodyne_log(
+            n_frames=frames, seed=seed, loop=spec.endswith("loop")
+        )
+        return LoadedDataset(scans=scans, gt_poses=poses, dim=3, name=spec)
+    if spec.endswith(".clf") or spec.endswith(".log"):
+        from tpu_icp_slam.datasets import carmen
+
+        log = carmen.load_clf(spec)
+        n = min(frames, len(log.ranges)) if frames > 0 else len(log.ranges)
+        scans = [
+            synthetic.scan_to_points(log.ranges[i], log.angles, log.max_range)
+            for i in range(n)
+        ]
+        return LoadedDataset(scans=scans, gt_poses=None, dim=2, name=os.path.basename(spec))
+    if os.path.isdir(spec) and os.path.exists(os.path.join(spec, "velodyne")):
+        from tpu_icp_slam.datasets import kitti
+
+        scans, poses = kitti.load_sequence(spec, max_frames=frames)
+        return LoadedDataset(scans=scans, gt_poses=poses, dim=3, name=os.path.basename(spec))
+    raise ValueError(f"unknown dataset spec: {spec}")
+
+
+def pad_scans(scans: list, capacity: int):
+    """list of (N_i, D) -> (F, C, D) points + (F, C) masks (sentinel padded)."""
+    f = len(scans)
+    d = scans[0].shape[1]
+    pts = np.full((f, capacity, d), PAD_COORD, np.float32)
+    msk = np.zeros((f, capacity), bool)
+    for i, s in enumerate(scans):
+        n = min(len(s), capacity)
+        pts[i, :n] = s[:n]
+        msk[i, :n] = True
+    return pts, msk
+
+
+def run_slam(
+    cfg: SlamConfig,
+    data: LoadedDataset,
+    out_dir: Optional[str] = None,
+    mode: str = "fused",
+    checkpoint_every: int = 0,
+    resume: bool = False,
+):
+    """Returns (poses (F, D+1, D+1) np.ndarray, report dict)."""
+    import jax.numpy as jnp
+
+    from tpu_icp_slam.slam.pipeline import OdometryPipeline
+
+    timer = Timer()
+    metrics_log = MetricsLogger(
+        os.path.join(out_dir, "metrics.jsonl") if out_dir else None,
+        static_fields={"config_hash": config_hash(cfg), "dataset": data.name},
+    )
+    cap = cfg.pipeline.scan_capacity
+    with timer.span("preprocess"):
+        scans = data.scans
+        if cfg.pipeline.downsample_voxel > 0:
+            from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+
+            scans = [voxel_downsample_np(s, cfg.pipeline.downsample_voxel) for s in scans]
+        pts, msk = pad_scans(scans, cap)
+
+    pipe = OdometryPipeline(cfg, dim=data.dim)
+    start_idx = 1
+    state = None
+    ckpt_path = os.path.join(out_dir, "checkpoint.npz") if out_dir else None
+    if resume and ckpt_path and os.path.exists(ckpt_path):
+        from tpu_icp_slam.slam.checkpoint import load_checkpoint
+
+        state, start_idx, prev_poses = load_checkpoint(ckpt_path, cfg)
+        metrics_log.log("resume", frame=start_idx)
+    if state is None:
+        state = pipe.init_state(pts[0], msk[0])
+        prev_poses = [np.eye(data.dim + 1, dtype=np.float32)]
+
+    poses = list(prev_poses)
+    if mode == "fused" and not resume and checkpoint_every == 0:
+        with timer.span("compile+run_fused"):
+            state, infos = pipe.run_fused(state, pts[1:], msk[1:])
+            run_poses = np.asarray(infos["pose"])
+        poses.extend(list(run_poses))
+        iters = np.asarray(infos["iters"])
+        rmses = np.asarray(infos["rmse"])
+        metrics_log.log(
+            "fused_run",
+            frames=len(poses),
+            mean_icp_iters=float(iters.mean()),
+            mean_rmse=float(rmses.mean()),
+        )
+    else:
+        with timer.span("run_streaming"):
+            for i in range(start_idx, len(pts)):
+                state, info = pipe.step(state, pts[i], msk[i])
+                poses.append(np.asarray(info["pose"]))
+                if checkpoint_every and out_dir and i % checkpoint_every == 0:
+                    from tpu_icp_slam.slam.checkpoint import save_checkpoint
+
+                    save_checkpoint(ckpt_path, state, i + 1, poses)
+                    metrics_log.log("checkpoint", frame=i + 1)
+
+    poses = np.stack(poses)
+    report = {
+        "frames": len(poses),
+        "dataset": data.name,
+        "config_hash": config_hash(cfg),
+        "mode": mode,
+        "timers": timer.summary(),
+    }
+    if data.gt_poses is not None:
+        from tpu_icp_slam.eval import metrics as em
+
+        gt = data.gt_poses[: len(poses)]
+        d = data.dim
+        report["ate_rmse"] = em.ate_rmse(poses[:, :d, d], gt[:, :d, d])
+        t_rpe, r_rpe = em.rpe(poses, gt)
+        report["rpe_trans"] = t_rpe
+        report["rpe_rot"] = r_rpe
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+        if state.grid is not None:
+            from tpu_icp_slam.mapping import occupancy2d
+
+            occupancy2d.render_png(
+                state.grid,
+                os.path.join(out_dir, "map.png"),
+                trajectory=poses[:, :2, 2],
+            )
+            report["map_png"] = os.path.join(out_dir, "map.png")
+        with open(os.path.join(out_dir, "report.json"), "w") as fh:
+            json.dump(report, fh, indent=2)
+    metrics_log.log("done", **{k: v for k, v in report.items() if not isinstance(v, dict)})
+    metrics_log.close()
+    return poses, report
+
+
+def _build_cfg(args) -> SlamConfig:
+    cfg = SlamConfig()
+    if getattr(args, "config", None):
+        with open(args.config) as fh:
+            cfg = from_json(fh.read())
+    if getattr(args, "override_dict", None):
+        cfg = override(cfg, args.override_dict)
+    return cfg
+
+
+def run_from_cli(args) -> int:
+    cfg = _build_cfg(args)
+    data = load_dataset(args.dataset, args.frames)
+    mode = "streaming" if (args.resume or args.checkpoint_every) else "fused"
+    _, report = run_slam(
+        cfg,
+        data,
+        out_dir=args.out,
+        mode=mode,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+    )
+    print(json.dumps(report, indent=2))
+    return 0
