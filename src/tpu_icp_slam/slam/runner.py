@@ -23,10 +23,13 @@ from tpu_icp_slam.obs import MetricsLogger, Timer
 
 @dataclasses.dataclass
 class LoadedDataset:
-    scans: list  # list of (N_i, D) float arrays (sensor frame)
+    scans: list  # list of (N_i, D) float arrays (sensor frame); empty for rgbd
     gt_poses: Optional[np.ndarray]  # (F, D+1, D+1) or None
     dim: int
     name: str
+    kind: str = "scan"  # scan | rgbd
+    depths: Optional[np.ndarray] = None  # (F, H, W) for rgbd
+    intrinsics: Optional[tuple] = None  # (fx, fy, cx, cy, W, H) for rgbd
 
 
 def load_dataset(spec: str, frames: int, seed: int = 0) -> LoadedDataset:
@@ -51,6 +54,32 @@ def load_dataset(spec: str, frames: int, seed: int = 0) -> LoadedDataset:
             n_frames=frames, seed=seed, loop=spec.endswith("loop")
         )
         return LoadedDataset(scans=scans, gt_poses=poses, dim=3, name=spec)
+    if spec == "simrgbd":
+        depths, poses, K = synthetic.rgbd_log(n_frames=frames, seed=seed)
+        return LoadedDataset(
+            scans=[],
+            gt_poses=poses,
+            dim=3,
+            name="simrgbd",
+            kind="rgbd",
+            depths=depths,
+            intrinsics=(K.fx, K.fy, K.cx, K.cy, K.width, K.height),
+        )
+    if os.path.isdir(spec) and os.path.exists(os.path.join(spec, "depth.txt")):
+        from tpu_icp_slam.datasets import tum
+
+        seq = tum.load_sequence(spec, max_frames=frames)
+        h, w = seq.depths.shape[1:]
+        fx, fy, cx, cy = seq.intrinsics
+        return LoadedDataset(
+            scans=[],
+            gt_poses=seq.gt_poses,
+            dim=3,
+            name=os.path.basename(spec.rstrip("/")),
+            kind="rgbd",
+            depths=seq.depths,
+            intrinsics=(fx, fy, cx, cy, w, h),
+        )
     if spec.endswith(".clf") or spec.endswith(".log"):
         from tpu_icp_slam.datasets import carmen
 
@@ -82,6 +111,58 @@ def pad_scans(scans: list, capacity: int):
     return pts, msk
 
 
+def run_rgbd(
+    cfg: SlamConfig,
+    data: LoadedDataset,
+    out_dir: Optional[str] = None,
+    mode: str = "fused",
+):
+    """RGB-D odometry (config 3): projective point-to-plane ICP per frame."""
+    import dataclasses as dc
+
+    from tpu_icp_slam.icp.projective import CameraIntrinsics
+    from tpu_icp_slam.slam.rgbd import RGBDOdometry
+
+    timer = Timer()
+    fx, fy, cx, cy, w, h = data.intrinsics
+    K = CameraIntrinsics(fx=fx, fy=fy, cx=cx, cy=cy, width=w, height=h)
+    if cfg.icp.method != "point_to_plane":
+        cfg = dc.replace(cfg, icp=dc.replace(cfg.icp, method="point_to_plane"))
+    pipe = RGBDOdometry(cfg, K)
+    state = pipe.init_state(data.depths[0])
+    poses = [np.eye(4, dtype=np.float32)]
+    with timer.span("compile+run"):
+        if mode == "fused":
+            state, infos = pipe.run_fused(state, data.depths[1:])
+            poses.extend(list(np.asarray(infos["pose"])))
+        else:
+            for i in range(1, len(data.depths)):
+                state, info = pipe.step(state, data.depths[i])
+                poses.append(np.asarray(info["pose"]))
+    poses = np.stack(poses)
+    report = {
+        "frames": len(poses),
+        "dataset": data.name,
+        "config_hash": config_hash(cfg),
+        "mode": mode,
+        "timers": timer.summary(),
+    }
+    if data.gt_poses is not None:
+        from tpu_icp_slam.eval import metrics as em
+
+        gt = data.gt_poses[: len(poses)]
+        report["ate_rmse"] = em.ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
+        t_rpe, r_rpe = em.rpe(poses, gt)
+        report["rpe_trans"] = t_rpe
+        report["rpe_rot"] = r_rpe
+    if out_dir:
+        os.makedirs(out_dir, exist_ok=True)
+        np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+        with open(os.path.join(out_dir, "report.json"), "w") as fh:
+            json.dump(report, fh, indent=2)
+    return poses, report
+
+
 def run_slam(
     cfg: SlamConfig,
     data: LoadedDataset,
@@ -91,6 +172,8 @@ def run_slam(
     resume: bool = False,
 ):
     """Returns (poses (F, D+1, D+1) np.ndarray, report dict)."""
+    if data.kind == "rgbd":
+        return run_rgbd(cfg, data, out_dir=out_dir, mode=mode)
     import jax.numpy as jnp
 
     from tpu_icp_slam.slam.pipeline import OdometryPipeline
