@@ -25,6 +25,9 @@ class ICPConfig:
     max_corr_dist: float = 1e9  # correspondence distance gate (meters)
     normal_gate_cos: float = -1.0  # reject pairs with normal dot < this
     damping: float = 1e-6  # Levenberg damping for the 6x6 GN solve
+    max_step_trans: float = 0.0  # >0: clamp per-iteration GN translation (m)
+    max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
+    min_inliers: int = 0  # below this, the iteration keeps T unchanged
     nn_backend: str = "auto"  # auto | pallas | xla
     nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
     huber_delta: float = 0.0  # 0 = plain least squares
@@ -51,7 +54,12 @@ class PipelineConfig:
     scan_capacity: int = 4096  # padded size of each input scan
     keyframe_trans: float = 1.0  # new keyframe after this much translation
     keyframe_rot: float = 0.3  # ... or this much rotation (rad)
+    keyframe_min_inlier_frac: float = 0.3  # insert only if ICP is this healthy
+    normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
     motion_model: str = "constant_velocity"  # constant_velocity | identity
+    motion_damping: float = 0.5  # scale on the constant-velocity twist (0=identity);
+    # full CV (1.0) is unstable in the scan-to-map feedback loop (see
+    # slam/scan_to_map._step) — 0.25–0.5 measured best on the synthetic logs
     downsample_voxel: float = 0.0  # 0 = off (host-side preprocessing)
 
 

@@ -183,3 +183,35 @@ def rotation_geodesic(Ra: jnp.ndarray, Rb: jnp.ndarray) -> jnp.ndarray:
     M = jnp.swapaxes(Ra, -1, -2) @ Rb
     trace = M[..., 0, 0] + M[..., 1, 1] + M[..., 2, 2]
     return jnp.arccos(jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0))
+
+
+def adjoint(T: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) -> (..., 6, 6) adjoint for the [rho, phi] tangent order:
+    Ad(T) = [[R, [t]x R], [0, R]], so T exp(xi) T^-1 = exp(Ad(T) xi)."""
+    R, t = rotation(T), translation(T)
+    tx = hat(t)
+    top = jnp.concatenate([R, tx @ R], axis=-1)
+    zeros = jnp.zeros_like(R)
+    bottom = jnp.concatenate([zeros, R], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def ad(xi: jnp.ndarray) -> jnp.ndarray:
+    """se(3) little adjoint: ad(xi) = [[phi^, rho^], [0, phi^]] (..., 6, 6)."""
+    rho, phi = xi[..., :3], xi[..., 3:]
+    px, rx = hat(phi), hat(rho)
+    zeros = jnp.zeros_like(px)
+    top = jnp.concatenate([px, rx], axis=-1)
+    bottom = jnp.concatenate([zeros, px], axis=-1)
+    return jnp.concatenate([top, bottom], axis=-2)
+
+
+def right_jacobian_inv(xi: jnp.ndarray) -> jnp.ndarray:
+    """Second-order approximation Jr^-1(xi) ≈ I + ad(xi)/2 + ad(xi)^2/12.
+
+    Exact enough for pose-graph Gauss-Newton where residuals are small; the
+    fixed point (r -> 0) is unaffected by the truncation.
+    """
+    A = ad(xi)
+    I6 = jnp.broadcast_to(jnp.eye(6, dtype=xi.dtype), A.shape)
+    return I6 + 0.5 * A + (A @ A) / 12.0

@@ -246,6 +246,27 @@ def scan_to_points(ranges: np.ndarray, angles: np.ndarray, max_range: float):
 # Synthetic Velodyne-like 3D scans (KITTI-style; config 4)
 # ---------------------------------------------------------------------------
 
+def _street_clutter_segments(rng: np.random.Generator, n_boxes: int) -> np.ndarray:
+    """Box obstacles (parked-car/bin-sized) flanking the corridor.
+
+    Real streets (the KITTI regime this generator stands in for) are full of
+    low clutter whose faces constrain translation along the travel axis —
+    without it the corridor scene is degenerate along x and any odometry
+    (including the fp64 golden oracle) drifts unboundedly.
+    """
+    segs = []
+    for _ in range(n_boxes):
+        cx = rng.uniform(-44, 44)
+        side = rng.choice([-1.0, 1.0])
+        cy = side * rng.uniform(2.5, 5.0)
+        w = rng.uniform(1.2, 3.5)  # along x
+        h = rng.uniform(0.8, 1.8)  # along y
+        x0, x1 = cx - w / 2, cx + w / 2
+        y0, y1 = cy - h / 2, cy + h / 2
+        segs += [(x0, y0, x1, y0), (x1, y0, x1, y1), (x1, y1, x0, y1), (x0, y1, x0, y0)]
+    return np.asarray(segs, dtype=np.float64)
+
+
 def velodyne_log(
     n_frames: int = 20,
     seed: int = 0,
@@ -253,14 +274,20 @@ def velodyne_log(
     n_azimuth: int = 512,
     max_range: float = 60.0,
     loop: bool = False,
+    n_boxes: int = 48,
+    path_fraction: float = 1.0,
 ):
-    """Simulate a vehicle driving through a 3D world of walls + ground.
+    """Simulate a vehicle driving through a 3D world of walls + ground + clutter.
 
+    path_fraction < 1 truncates the route so short logs keep a realistic
+    (~1 m/frame, KITTI-like) inter-frame motion instead of giant hops.
     Returns (scans: list[(N_i, 3) float64 in sensor frame], gt_poses: (F,4,4)).
     """
     rng = np.random.default_rng(seed)
     segs2d = _default_world_segments() * 4.0  # scale up to street scale
+    boxes2d = _street_clutter_segments(rng, n_boxes) if n_boxes else None
     wall_h = 6.0
+    box_h = 1.6
     if loop:
         waypoints = np.array(
             [(-40, 0), (-8, 0), (16, 0), (36, 0), (36, 16), (8, 18), (-20, 18),
@@ -270,7 +297,7 @@ def velodyne_log(
         waypoints = np.array([(-40, 0), (-16, 0), (8, 0), (40, 0)])
     seg_lens = np.linalg.norm(np.diff(waypoints, axis=0), axis=1)
     cum = np.concatenate([[0], np.cumsum(seg_lens)])
-    s = np.linspace(0, cum[-1], n_frames)
+    s = np.linspace(0, cum[-1] * path_fraction, n_frames)
     xy = np.stack([np.interp(s, cum, waypoints[:, i]) for i in range(2)], axis=1)
     heading = np.arctan2(*np.flip(np.gradient(xy, axis=0), axis=1).T)
 
@@ -286,20 +313,29 @@ def velodyne_log(
         T[:2, :2] = [[c, -sn], [sn, c]]
         T[0, 3], T[1, 3], T[2, 3] = xy[f, 0], xy[f, 1], sensor_h
         poses.append(T)
-        # horizontal range from 2D world per azimuth
-        r2d = _raycast_segments(xy[f], azim + th, segs2d, max_range)  # (A,)
+        # horizontal range from 2D world per azimuth, per surface class
+        surfaces = [(_raycast_segments(xy[f], azim + th, segs2d, max_range), wall_h)]
+        if boxes2d is not None:
+            surfaces.append(
+                (_raycast_segments(xy[f], azim + th, boxes2d, max_range), box_h)
+            )
         pts = []
         for e in elev:
             ce, se = np.cos(e), np.sin(e)
-            # wall hit: horizontal distance r2d, z = sensor_h + r2d * tan(e)
-            r3d = r2d / max(ce, 1e-6)
-            z = sensor_h + r2d * np.tan(e)
-            wall_ok = (z > 0.05) & (z < wall_h) & (r2d < max_range * 0.999)
+            # nearest vertical surface whose height the beam actually meets
+            r2d_hit = np.full(n_azimuth, np.inf)
+            for r2d, h in surfaces:
+                z = sensor_h + r2d * np.tan(e)
+                ok = (z > 0.05) & (z < h) & (r2d < max_range * 0.999)
+                r2d_hit = np.where(ok & (r2d < r2d_hit), r2d, r2d_hit)
+            r3d = r2d_hit / max(ce, 1e-6)
             # ground hit for downward beams that reach the floor first
             with np.errstate(divide="ignore"):
                 r_ground = np.where(se < -1e-6, sensor_h / -se, np.inf)
-            ground_first = r_ground * ce < r2d
-            r_sel = np.where(ground_first, r_ground, np.where(wall_ok, r3d, np.inf))
+            ground_first = r_ground * ce < r2d_hit
+            r_sel = np.where(
+                ground_first, r_ground, np.where(np.isfinite(r3d), r3d, np.inf)
+            )
             ok = np.isfinite(r_sel) & (r_sel < max_range)
             a = azim[ok]
             rr = r_sel[ok] + 0.01 * rng.standard_normal(ok.sum())

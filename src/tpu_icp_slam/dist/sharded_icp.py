@@ -68,16 +68,20 @@ def _align_shard(
             H, g = build_normal_equations(cur, q, n, w)
             H = lax.psum(H, axis_name)
             g = lax.psum(g, axis_name)
-            xi = solve_increment(H, g, cfg.damping)
+            xi = solve_increment(
+                H, g, cfg.damping, cfg.max_step_trans, cfg.max_step_rot
+            )
             dT = se3.exp(xi) if d == 3 else se2.exp(xi)
         else:
             m = lax.psum(moments(cur, q, w), axis_name)
             dT = umeyama_from_moments(*m)
-        T_new = dT @ T
         stats = lax.psum(
             jnp.stack([jnp.sum(w), jnp.sum(w * d2), jnp.sum(w > 0).astype(dtype)]),
             axis_name,
         )
+        min_inl = max(cfg.min_inliers, d + 1)
+        dT = jnp.where(stats[2] >= min_inl, dT, jnp.eye(d + 1, dtype=dtype))
+        T_new = dT @ T
         rmse = jnp.sqrt(stats[1] / jnp.maximum(stats[0], 1e-12))
         converged = jnp.abs(prev_rmse - rmse) < cfg.tol
         return (T_new, rmse, rmse, it + 1, stats[2].astype(jnp.int32), converged)

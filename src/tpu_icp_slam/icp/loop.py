@@ -99,9 +99,18 @@ def align_with_correspondence(
         if cfg.method == "point_to_plane":
             if n is None:
                 raise ValueError("point_to_plane requires target normals")
-            dT = gauss_newton_step(cur, q, n, w, damping=cfg.damping)
+            dT = gauss_newton_step(
+                cur, q, n, w,
+                damping=cfg.damping,
+                max_step_trans=cfg.max_step_trans,
+                max_step_rot=cfg.max_step_rot,
+            )
         else:
             dT = umeyama_masked(cur, q, w)
+        # degenerate-correspondence guard: with too few inliers the solve is
+        # meaningless — hold the pose (the motion-model init survives)
+        min_inl = max(cfg.min_inliers, d + 1)
+        dT = jnp.where(n_inl >= min_inl, dT, jnp.eye(d + 1, dtype=dtype))
         T_new = dT @ T
         wsum = jnp.maximum(jnp.sum(w), 1e-12)
         rmse = jnp.sqrt(jnp.sum(w * d2) / wsum)

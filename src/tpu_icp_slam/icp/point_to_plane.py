@@ -36,7 +36,20 @@ def build_normal_equations(
     return H, g
 
 
-def solve_increment(H: jnp.ndarray, g: jnp.ndarray, damping: float) -> jnp.ndarray:
+def solve_increment(
+    H: jnp.ndarray,
+    g: jnp.ndarray,
+    damping: float,
+    max_step_trans: float = 0.0,
+    max_step_rot: float = 0.0,
+) -> jnp.ndarray:
+    """Damped solve of H xi = -g with optional per-block trust clamps.
+
+    The clamps bound the translation / rotation magnitude of one GN step —
+    the cheap jit-friendly trust region that stops near-degenerate normal
+    equations (e.g. a corridor scene unconstrained along the travel axis)
+    from launching the pose to infinity.
+    """
     k = H.shape[0]
     Hd = H + damping * jnp.eye(k, dtype=H.dtype) * jnp.maximum(
         jnp.trace(H) / k, 1.0
@@ -45,7 +58,15 @@ def solve_increment(H: jnp.ndarray, g: jnp.ndarray, damping: float) -> jnp.ndarr
     y = jnp.linalg.solve(L, -g[:, None])
     xi = jnp.linalg.solve(L.T, y)[:, 0]
     # guard against NaNs from a singular system: fall back to zero update
-    return jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+    xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
+    d = 3 if k == 6 else 2  # tangent layout: [t (d), w (k-d)]
+    if max_step_trans > 0.0:
+        tn = jnp.linalg.norm(xi[:d])
+        xi = xi * jnp.minimum(1.0, max_step_trans / jnp.maximum(tn, 1e-12))
+    if max_step_rot > 0.0:
+        wn = jnp.linalg.norm(xi[d:])
+        xi = xi * jnp.minimum(1.0, max_step_rot / jnp.maximum(wn, 1e-12))
+    return xi
 
 
 def gauss_newton_step(
@@ -54,9 +75,11 @@ def gauss_newton_step(
     n: jnp.ndarray,
     w: jnp.ndarray,
     damping: float = 1e-6,
+    max_step_trans: float = 0.0,
+    max_step_rot: float = 0.0,
 ) -> jnp.ndarray:
     """One damped GN update: returns dT (D+1, D+1) to left-compose onto T."""
     d = p.shape[-1]
     H, g = build_normal_equations(p, q, n, w)
-    xi = solve_increment(H, g, damping)
+    xi = solve_increment(H, g, damping, max_step_trans, max_step_rot)
     return se3.exp(xi) if d == 3 else se2.exp(xi)

@@ -89,10 +89,15 @@ def insert(vm: VoxelMap, pts: jnp.ndarray, msk: jnp.ndarray, nrm: jnp.ndarray,
 
 def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
                   radius: float = 0.0):
-    """Nearest `size` map points to `center`: (pts (S,3), nrm (S,3), msk (S,)).
+    """Nearest `size` map points to `center`: (pts (S,3), nrm (S,3), msk (S,),
+    r_cover ()).
 
     radius > 0 additionally gates by euclidean distance. Fixed output shape
     regardless of map occupancy (invalid slots keep the sentinel coordinate).
+    r_cover is the model's coverage radius — the distance to the farthest
+    selected point (or `radius` if that gates first). Scan points beyond
+    r_cover have no genuine counterpart in the model and must not be matched
+    against its boundary (scan_to_map gates on this).
     """
     diff = vm.points - center[None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
@@ -101,9 +106,16 @@ def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
     msk = jnp.isfinite(neg)
     if radius > 0.0:
         msk = msk & (-neg <= radius * radius)
+    # if the map still has free capacity the farthest-point bound is not a
+    # coverage limit — everything known is in the model, so don't gate
+    full = jnp.sum(vm.mask) > size
+    r_sel = jnp.sqrt(jnp.maximum(-jnp.min(neg, initial=0.0, where=msk), 0.0))
+    r_cover = jnp.where(full, r_sel, jnp.inf)
+    if radius > 0.0:
+        r_cover = jnp.minimum(r_cover, radius)
     pts = jnp.where(msk[:, None], vm.points[idx], PAD_COORD)
     nrm = jnp.where(msk[:, None], vm.normals[idx], 0.0)
-    return pts, nrm, msk
+    return pts, nrm, msk, r_cover
 
 
 def count(vm: VoxelMap) -> jnp.ndarray:

@@ -192,7 +192,12 @@ def run_slam(
             scans = [voxel_downsample_np(s, cfg.pipeline.downsample_voxel) for s in scans]
         pts, msk = pad_scans(scans, cap)
 
-    pipe = OdometryPipeline(cfg, dim=data.dim)
+    if cfg.pipeline.mode == "scan_to_map" and data.dim == 3:
+        from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+        pipe = ScanToMapPipeline(cfg)
+    else:
+        pipe = OdometryPipeline(cfg, dim=data.dim)
     start_idx = 1
     state = None
     ckpt_path = os.path.join(out_dir, "checkpoint.npz") if out_dir else None
@@ -250,7 +255,7 @@ def run_slam(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
-        if state.grid is not None:
+        if getattr(state, "grid", None) is not None:
             from tpu_icp_slam.mapping import occupancy2d
 
             occupancy2d.render_png(

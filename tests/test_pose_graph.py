@@ -1,0 +1,91 @@
+"""Pose-graph GN tests (N14): odometry chain + loop closure reduces error."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_icp_slam.backend import pose_graph as pg
+from tpu_icp_slam.core import se3
+from tpu_icp_slam.datasets import synthetic
+
+
+def _chain_with_loop(n=12, drift=0.02, seed=0):
+    """Simulated keyframe chain: GT square loop + drifty odometry factors."""
+    rng = np.random.default_rng(seed)
+    # GT: walk around a square, n poses
+    gt = [np.eye(4)]
+    for i in range(1, n):
+        step = np.eye(4)
+        step[:3, 3] = [1.0, 0.0, 0.0]
+        if i % (n // 4) == 0:  # turn 90° at corners
+            c, s = 0.0, 1.0
+            step[:3, :3] = [[c, -s, 0], [s, c, 0], [0, 0, 1]]
+        gt.append(gt[-1] @ step)
+    gt = np.stack(gt)
+    # odometry measurements = GT relative + noise/drift
+    factors = []
+    init = [np.eye(4)]
+    for i in range(1, n):
+        rel = np.linalg.inv(gt[i - 1]) @ gt[i]
+        noise = synthetic.rigid_transform(3, rng, rot_scale=drift, trans_scale=drift)
+        meas = rel @ noise
+        factors.append((i - 1, i, meas, 1.0))
+        init.append(init[-1] @ meas)
+    # loop closure: exact relative pose between last and first keyframe
+    rel = np.linalg.inv(gt[0]) @ gt[n - 1]
+    factors.append((0, n - 1, rel, 2.0))
+    return np.stack(init), gt, factors
+
+
+def test_pose_graph_reduces_loop_error():
+    init, gt, factors = _chain_with_loop(n=12, drift=0.03)
+    g = pg.from_arrays(init, factors, dtype=jnp.float64)
+    before = np.linalg.norm(np.asarray(g.poses)[: len(gt), :3, 3] - gt[:, :3, 3], axis=1)
+    g_opt, chis = pg.optimize(g, iters=10, damping=1e-9)
+    after = np.linalg.norm(
+        np.asarray(g_opt.poses)[: len(gt), :3, 3] - gt[:, :3, 3], axis=1
+    )
+    chis = np.asarray(chis)
+    assert chis[-1] < chis[0] * 0.5, f"chi2 did not drop: {chis}"
+    assert after.max() < before.max(), (before.max(), after.max())
+    # end-of-loop keyframe should be pulled near GT by the closure
+    assert after[-1] < 0.2, after
+
+
+def test_pose_graph_exact_measurements_noop():
+    # factors consistent with the initial poses -> optimization changes nothing
+    rng = np.random.default_rng(1)
+    poses = [np.eye(4)]
+    for _ in range(5):
+        poses.append(poses[-1] @ synthetic.rigid_transform(3, rng, 0.4, 1.0))
+    poses = np.stack(poses)
+    factors = [
+        (i, i + 1, np.linalg.inv(poses[i]) @ poses[i + 1], 1.0) for i in range(5)
+    ]
+    g = pg.from_arrays(poses, factors, dtype=jnp.float64)
+    g_opt, chis = pg.optimize(g, iters=5, damping=1e-9)
+    np.testing.assert_allclose(np.asarray(g_opt.poses), poses, atol=1e-8)
+    assert np.asarray(chis)[0] < 1e-16
+
+
+def test_pose_graph_padding_invariant():
+    # empty factor slots (weight 0) and inactive poses must not affect result
+    init, gt, factors = _chain_with_loop(n=8, drift=0.02)
+    g1 = pg.from_arrays(init, factors, dtype=jnp.float64)
+    g2 = pg.from_arrays(init, factors, max_keyframes=32, max_factors=64,
+                        dtype=jnp.float64)
+    o1, _ = pg.optimize(g1, iters=6, damping=1e-9)
+    o2, _ = pg.optimize(g2, iters=6, damping=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(o1.poses)[:8], np.asarray(o2.poses)[:8], atol=1e-9
+    )
+
+
+def test_residual_convention():
+    # r = log(T_meas^-1 X_i^-1 X_j): zero iff measurement matches poses
+    rng = np.random.default_rng(2)
+    Xi = synthetic.rigid_transform(3, rng, 0.5, 2.0)
+    Xj = synthetic.rigid_transform(3, rng, 0.5, 2.0)
+    T = np.linalg.inv(Xi) @ Xj
+    g = pg.from_arrays(np.stack([Xi, Xj]), [(0, 1, T, 1.0)], dtype=jnp.float64)
+    r = np.asarray(pg.residuals(g))
+    np.testing.assert_allclose(r[0], 0.0, atol=1e-12)

@@ -1,0 +1,164 @@
+"""Config-4a tests: voxel map, KITTI loader round-trip, scan-to-map pipeline."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_icp_slam.config import ICPConfig, MappingConfig, PipelineConfig, SlamConfig
+from tpu_icp_slam.datasets import kitti, synthetic
+from tpu_icp_slam.mapping import voxel_map
+from tpu_icp_slam.slam.runner import pad_scans
+
+
+# --------------------------------------------------------------------------
+# voxel map
+# --------------------------------------------------------------------------
+
+def test_voxel_insert_dedups():
+    vm = voxel_map.create(64)
+    pts = jnp.asarray(
+        [[0.05, 0.05, 0.05], [0.06, 0.06, 0.06], [1.0, 1.0, 1.0]], jnp.float32
+    )
+    msk = jnp.ones(3, bool)
+    nrm = jnp.zeros((3, 3), jnp.float32)
+    vm = voxel_map.insert(vm, pts, msk, nrm, voxel=0.4)
+    # first two share a voxel -> 2 unique
+    assert int(voxel_map.count(vm)) == 2
+    # reinsert: no growth, existing points win
+    vm2 = voxel_map.insert(vm, pts + 0.01, msk, nrm, voxel=0.4)
+    assert int(voxel_map.count(vm2)) == 2
+    kept = np.sort(np.asarray(vm2.points[vm2.mask])[:, 0])
+    np.testing.assert_allclose(kept, [0.05, 1.0], atol=1e-6)
+
+
+def test_voxel_insert_respects_capacity_and_mask():
+    vm = voxel_map.create(8)
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-10, 10, (32, 3)), jnp.float32)
+    msk = jnp.asarray([True] * 16 + [False] * 16)
+    nrm = jnp.zeros((32, 3), jnp.float32)
+    vm = voxel_map.insert(vm, pts, msk, nrm, voxel=0.1)
+    assert int(voxel_map.count(vm)) == 8  # capped
+    # masked-out points never inserted
+    vm2 = voxel_map.create(64)
+    vm2 = voxel_map.insert(vm2, pts, jnp.zeros(32, bool), nrm, voxel=0.1)
+    assert int(voxel_map.count(vm2)) == 0
+
+
+def test_extract_local_nearest():
+    vm = voxel_map.create(32)
+    pts = jnp.asarray([[float(i), 0.0, 0.0] for i in range(10)], jnp.float32)
+    vm = voxel_map.insert(
+        vm, pts, jnp.ones(10, bool), jnp.zeros((10, 3), jnp.float32), voxel=0.4
+    )
+    loc, _, msk, r_cover = voxel_map.extract_local(
+        vm, jnp.asarray([0.0, 0.0, 0.0]), 4
+    )
+    got = np.sort(np.asarray(loc[msk])[:, 0])
+    np.testing.assert_allclose(got, [0, 1, 2, 3], atol=1e-6)
+    # map (10 pts) exceeds model size (4): coverage radius = farthest selected
+    np.testing.assert_allclose(float(r_cover), 3.0, atol=1e-5)
+    # radius gate
+    loc, _, msk, r_cover = voxel_map.extract_local(
+        vm, jnp.asarray([0.0, 0.0, 0.0]), 8, radius=2.5
+    )
+    assert int(msk.sum()) == 3
+    assert float(r_cover) <= 2.5 + 1e-6
+
+
+# --------------------------------------------------------------------------
+# KITTI loader
+# --------------------------------------------------------------------------
+
+def test_kitti_roundtrip(tmp_path):
+    scans, poses = synthetic.velodyne_log(n_frames=3, n_rings=4, n_azimuth=64)
+    Tr = np.eye(4)
+    Tr[:3, :3] = [[0, -1, 0], [0, 0, -1], [1, 0, 0]]  # velo->cam0-style axes
+    Tr[:3, 3] = [0.1, -0.05, -0.3]
+    kitti.write_sequence(str(tmp_path), scans, poses, Tr=Tr)
+    scans2, poses2 = kitti.load_sequence(str(tmp_path))
+    assert len(scans2) == 3
+    np.testing.assert_allclose(scans2[1], scans[1], atol=1e-6)
+    np.testing.assert_allclose(poses2, poses, atol=1e-8)
+
+
+# --------------------------------------------------------------------------
+# scan-to-map pipeline
+# --------------------------------------------------------------------------
+
+def _s2m_cfg():
+    return SlamConfig(
+        icp=ICPConfig(
+            method="point_to_plane",
+            max_iters=15,
+            max_corr_dist=1.5,
+            nn_backend="xla",
+            damping=1e-3,
+            max_step_trans=1.0,
+            max_step_rot=0.3,
+            min_inliers=50,
+            huber_delta=0.3,
+        ),
+        mapping=MappingConfig(
+            map_capacity=32768, local_model_size=4096, map_voxel=0.3
+        ),
+        pipeline=PipelineConfig(
+            mode="scan_to_map",
+            scan_capacity=2048,
+            keyframe_trans=2.0,
+            keyframe_rot=0.2,
+        ),
+    )
+
+
+def test_scan_to_map_odometry_tracks_gt():
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.eval import metrics as em
+    from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+    # ~1 m/frame (KITTI-like): 25 frames over 30% of the route
+    scans, gt = synthetic.velodyne_log(
+        n_frames=25, n_rings=16, n_azimuth=320, path_fraction=0.3
+    )
+    scans = [voxel_downsample_np(s, 0.4) for s in scans]
+    cfg = _s2m_cfg()
+    pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)
+    pipe = ScanToMapPipeline(cfg)
+    state = pipe.init_state(pts[0], msk[0])
+    state, infos = pipe.run_fused(state, pts[1:], msk[1:])
+    poses = np.concatenate([np.eye(4)[None], np.asarray(infos["pose"])])
+    # GT starts at a nonzero pose: compare relative to frame 0
+    gt_rel = np.einsum("ij,fjk->fik", np.linalg.inv(gt[0]), gt)
+    ate = em.ate_rmse(poses[:, :3, 3], gt_rel[: len(poses), :3, 3])
+    assert ate < 0.15, f"scan-to-map ATE {ate}"
+    assert int(infos["is_keyframe"].sum()) >= 1
+    assert int(np.asarray(infos["map_points"])[-1]) > int(
+        np.asarray(infos["map_points"])[0]
+    )
+
+
+def test_scan_to_map_streaming_matches_fused():
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+    scans, _ = synthetic.velodyne_log(
+        n_frames=4, n_rings=8, n_azimuth=128, path_fraction=0.2
+    )
+    scans = [voxel_downsample_np(s, 0.6) for s in scans]
+    cfg = _s2m_cfg()
+    cfg = dataclasses.replace(
+        cfg, pipeline=dataclasses.replace(cfg.pipeline, scan_capacity=512)
+    )
+    pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)
+    pipe = ScanToMapPipeline(cfg)
+    s_f = pipe.init_state(pts[0], msk[0])
+    s_f, infos = pipe.run_fused(s_f, pts[1:], msk[1:])
+    s_s = pipe.init_state(pts[0], msk[0])
+    stream_poses = []
+    for i in range(1, len(pts)):
+        s_s, info = pipe.step(s_s, pts[i], msk[i])
+        stream_poses.append(np.asarray(info["pose"]))
+    np.testing.assert_allclose(
+        np.asarray(infos["pose"]), np.stack(stream_poses), rtol=1e-5, atol=1e-5
+    )
