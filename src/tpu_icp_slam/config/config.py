@@ -28,8 +28,10 @@ class ICPConfig:
     max_step_trans: float = 0.0  # >0: clamp per-iteration GN translation (m)
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged
-    nn_backend: str = "auto"  # auto | pallas | xla
+    nn_backend: str = "auto"  # auto | pallas | xla | voxel
     nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
+    voxel_table_size: int = 16384  # hash-grid slots (power of two), voxel backend
+    voxel_bucket: int = 16  # max points per hash bucket, voxel backend
     huber_delta: float = 0.0  # 0 = plain least squares
 
 
@@ -55,6 +57,7 @@ class PipelineConfig:
     keyframe_trans: float = 1.0  # new keyframe after this much translation
     keyframe_rot: float = 0.3  # ... or this much rotation (rad)
     keyframe_min_inlier_frac: float = 0.3  # insert only if ICP is this healthy
+    keyframe_max_rmse: float = 0.6  # ... or rmse below this even if not converged
     normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
     motion_model: str = "constant_velocity"  # constant_velocity | identity
     motion_damping: float = 0.5  # scale on the constant-velocity twist (0=identity);
@@ -70,6 +73,8 @@ class BackendConfig:
     descriptor_sectors: int = 60
     candidate_topk: int = 4
     min_loop_separation: int = 20  # keyframes
+    gating_radius: float = 20.0  # m; candidate gate on odometry-estimate distance
+    verify_max_dev: float = 5.0  # m; measured loop vs odometry-predicted relpose
     verify_max_rmse: float = 0.5
     pg_iters: int = 10
     pg_damping: float = 1e-6

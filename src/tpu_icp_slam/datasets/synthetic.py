@@ -291,7 +291,7 @@ def velodyne_log(
     if loop:
         waypoints = np.array(
             [(-40, 0), (-8, 0), (16, 0), (36, 0), (36, 16), (8, 18), (-20, 18),
-             (-38, 16), (-40, 2)]
+             (-38, 16), (-40, 8), (-39, 1), (-30, 0.2)]
         )
     else:
         waypoints = np.array([(-40, 0), (-16, 0), (8, 0), (40, 0)])
@@ -299,6 +299,19 @@ def velodyne_log(
     cum = np.concatenate([[0], np.cumsum(seg_lens)])
     s = np.linspace(0, cum[-1] * path_fraction, n_frames)
     xy = np.stack([np.interp(s, cum, waypoints[:, i]) for i in range(2)], axis=1)
+    # smooth the polyline corners: real vehicles turn over several frames —
+    # unsmoothed waypoint corners give 0.3-0.5 rad/frame yaw steps that no
+    # odometry (golden included) can track
+    win = max(3, n_frames // 8) | 1
+    kern = np.ones(win) / win
+    pad = win // 2
+    xy = np.stack(
+        [
+            np.convolve(np.pad(xy[:, i], pad, mode="edge"), kern, mode="valid")
+            for i in range(2)
+        ],
+        axis=1,
+    )
     heading = np.arctan2(*np.flip(np.gradient(xy, axis=0), axis=1).T)
 
     elev = np.linspace(-0.30, 0.08, n_rings)  # radians

@@ -39,10 +39,32 @@ def _nn_correspondence(cfg: ICPConfig, dst: PointCloud):
     """Returns corr(points) -> (q, n, w_gate, d2): NN into dst + distance gate."""
     max_d2 = cfg.max_corr_dist * cfg.max_corr_dist
 
-    def corr(cur_pts: jnp.ndarray):
-        idx, _ = nearest_neighbor(
-            cur_pts, dst.points, backend=cfg.nn_backend, chunk=cfg.nn_chunk
+    grid = None
+    if cfg.nn_backend == "voxel":
+        # hash-grid bucket NN (N4): exact within one voxel ring, so the search
+        # voxel is the correspondence gate itself; built ONCE per align (the
+        # target is fixed across ICP iterations), queried inside the loop
+        if cfg.max_corr_dist >= 1e6:
+            raise ValueError("nn_backend='voxel' needs a finite max_corr_dist")
+        from tpu_icp_slam.kernels import voxel_nn
+
+        grid = voxel_nn.build(
+            dst.points,
+            dst.mask,
+            voxel=cfg.max_corr_dist,
+            table_size=cfg.voxel_table_size,
+            bucket=cfg.voxel_bucket,
         )
+
+    def corr(cur_pts: jnp.ndarray):
+        if grid is not None:
+            from tpu_icp_slam.kernels import voxel_nn
+
+            idx, _ = voxel_nn.query(grid, cur_pts, voxel=cfg.max_corr_dist)
+        else:
+            idx, _ = nearest_neighbor(
+                cur_pts, dst.points, backend=cfg.nn_backend, chunk=cfg.nn_chunk
+            )
         q = dst.points[idx]
         n = dst.normals[idx] if dst.normals is not None else None
         # recompute distances in difference form: the kernel's factored

@@ -193,6 +193,41 @@ def run_slam(
         pts, msk = pad_scans(scans, cap)
 
     if cfg.pipeline.mode == "scan_to_map" and data.dim == 3:
+        if cfg.backend.enabled:
+            # full config-4 path: scan-to-map + loop closure + pose graph
+            from tpu_icp_slam.slam.slam3d import Slam3D
+
+            slam = Slam3D(cfg)
+            with timer.span("slam3d"):
+                poses, srep = slam.run(pts, msk)
+            report = {
+                "frames": len(poses),
+                "dataset": data.name,
+                "config_hash": config_hash(cfg),
+                "mode": "slam3d",
+                "n_keyframes": srep.n_keyframes,
+                "n_loop_candidates": srep.n_loop_candidates,
+                "n_loop_closures": srep.n_loop_closures,
+                "timers": timer.summary(),
+            }
+            if data.gt_poses is not None:
+                from tpu_icp_slam.eval import metrics as em
+
+                gt = data.gt_poses[: len(poses)]
+                report["ate_rmse"] = em.ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
+                t_rpe, r_rpe = em.rpe(poses, gt)
+                report["rpe_trans"] = t_rpe
+                report["rpe_rot"] = r_rpe
+            if out_dir:
+                os.makedirs(out_dir, exist_ok=True)
+                np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+                with open(os.path.join(out_dir, "report.json"), "w") as fh:
+                    json.dump(report, fh, indent=2)
+            metrics_log.log(
+                "done", **{k: v for k, v in report.items() if not isinstance(v, dict)}
+            )
+            metrics_log.close()
+            return poses, report
         from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
         pipe = ScanToMapPipeline(cfg)

@@ -136,8 +136,12 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     # never write to the map — misplaced keyframes are what later frames
     # align against, so one bad insert compounds into runaway drift
     n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    # "converged" alone is too strict at turns (max_iters exhausted while the
+    # registration is still good); an absolute rmse bound keeps coverage
+    # extending exactly where the motion is hardest
+    quality = jnp.logical_or(res.converged, res.rmse < p.keyframe_max_rmse)
     healthy = jnp.logical_and(
-        res.converged,
+        quality,
         res.n_inliers >= (n_valid * p.keyframe_min_inlier_frac).astype(jnp.int32),
     )
     is_kf = jnp.logical_and(moved, healthy)

@@ -1,0 +1,127 @@
+"""Full 3D SLAM: scan-to-map odometry + loop closure + pose-graph optimization.
+
+BASELINE.json config 4 end-to-end: the streaming scan-to-map front-end
+(slam/scan_to_map.py) produces keyframes; each keyframe is fingerprinted
+(backend/loop_closure.py), candidate loops are verified by ICP, and accepted
+closures + odometry factors form a pose graph optimized by damped GN
+(backend/pose_graph.py). After optimization every frame pose is corrected
+rigidly relative to its anchor keyframe.
+
+Host code here only orchestrates (runs once per keyframe); descriptors,
+verification ICP and the GN solve are jitted device work. The reference app
+had no backend (SURVEY.md §2a R3) — capability mandated by the driver.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from tpu_icp_slam.backend.loop_closure import LoopClosure, LoopDetector
+from tpu_icp_slam.backend import pose_graph as pg
+from tpu_icp_slam.config import SlamConfig
+from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+
+@dataclasses.dataclass
+class SlamReport:
+    n_frames: int
+    n_keyframes: int
+    n_loop_candidates: int
+    n_loop_closures: int
+    chi2: Optional[list] = None
+
+
+class Slam3D:
+    """Streaming front-end + backend; `run` maps a padded log to a trajectory."""
+
+    def __init__(self, cfg: SlamConfig):
+        self.cfg = cfg
+        self.pipe = ScanToMapPipeline(cfg)
+        self.detector = LoopDetector(cfg.backend)
+
+    def run(self, pts: np.ndarray, msk: np.ndarray):
+        """pts (F, C, 3), msk (F, C) -> (poses (F, 4, 4), SlamReport)."""
+        cfg = self.cfg
+        state = self.pipe.init_state(pts[0], msk[0])
+        poses = [np.eye(4)]
+        # keyframe store: index -> (frame, pose-at-solve, scan)
+        kf_frames = [0]
+        kf_poses = [np.eye(4)]
+        self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(3))
+        # per-frame anchoring for post-optimization correction
+        anchor_kf = [0]
+        closures: list[LoopClosure] = []
+        n_cands = 0
+
+        for f in range(1, len(pts)):
+            state, info = self.pipe.step(state, pts[f], msk[f])
+            pose = np.asarray(info["pose"], np.float64)
+            poses.append(pose)
+            if bool(info["is_keyframe"]):
+                kf_idx = self.detector.add_keyframe(
+                    pts[f], msk[f], position=pose[:3, 3]
+                )
+                kf_frames.append(f)
+                kf_poses.append(pose)
+                # loop search for this keyframe
+                if cfg.backend.enabled:
+                    for cand in self.detector.candidates(kf_idx):
+                        n_cands += 1
+                        mi = cand.match_idx
+                        lc = self.detector.verify(
+                            cand,
+                            pts[f], msk[f],
+                            pts[kf_frames[mi]], msk[kf_frames[mi]],
+                        )
+                        if lc is not None:
+                            closures.append(lc)
+            anchor_kf.append(len(kf_frames) - 1)
+
+        poses = np.stack(poses)
+        report = SlamReport(
+            n_frames=len(pts),
+            n_keyframes=len(kf_frames),
+            n_loop_candidates=n_cands,
+            n_loop_closures=len(closures),
+        )
+        if not (cfg.backend.enabled and closures):
+            return poses, report
+
+        # ---- pose graph over keyframes: odometry chain + loop factors ----
+        kf_poses = np.stack(kf_poses)
+        factors = []
+        for k in range(1, len(kf_poses)):
+            rel = np.linalg.inv(kf_poses[k - 1]) @ kf_poses[k]
+            factors.append((k - 1, k, rel, 1.0))
+        for lc in closures:
+            factors.append((lc.i, lc.j, lc.T_ij, 2.0))
+        import jax.numpy as jnp
+
+        graph = pg.from_arrays(
+            kf_poses,
+            factors,
+            max_keyframes=min(
+                max(len(kf_poses), 2), cfg.backend.max_keyframes
+            ),
+            max_factors=min(max(len(factors), 2), cfg.backend.max_factors),
+            dtype=jnp.float64,
+        )
+        graph_opt, chis = pg.optimize(
+            graph,
+            iters=cfg.backend.pg_iters,
+            damping=cfg.backend.pg_damping,
+            huber_delta=cfg.backend.huber_delta,
+        )
+        kf_opt = np.asarray(graph_opt.poses)[: len(kf_poses)]
+        report.chi2 = [float(c) for c in np.asarray(chis)]
+
+        # ---- rigid per-frame correction relative to the anchor keyframe ----
+        out = np.empty_like(poses)
+        for f in range(len(poses)):
+            a = anchor_kf[f]
+            rel = np.linalg.inv(kf_poses[a]) @ poses[f]
+            out[f] = kf_opt[a] @ rel
+        return out, report

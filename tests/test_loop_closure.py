@@ -1,0 +1,87 @@
+"""Loop-closure detector tests (N13): descriptor invariances + verification."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpu_icp_slam.backend.loop_closure import (
+    LoopDetector,
+    scan_context,
+    shift_match_scores,
+)
+from tpu_icp_slam.config import BackendConfig
+from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+from tpu_icp_slam.datasets import synthetic
+
+
+def _scan(i, scans):
+    s = voxel_downsample_np(scans[i], 0.4)
+    return s, np.ones(len(s), bool)
+
+
+def test_scan_context_yaw_shift():
+    scans, _ = synthetic.velodyne_log(n_frames=2, n_rings=12, n_azimuth=256)
+    s, m = _scan(0, scans)
+    d0 = scan_context(jnp.asarray(s, jnp.float32), jnp.asarray(m), 20, 60)
+    yaw = 2 * np.pi * 9 / 60  # exactly 9 sectors
+    c, sn = np.cos(yaw), np.sin(yaw)
+    R = np.array([[c, -sn, 0], [sn, c, 0], [0, 0, 1]])
+    d1 = scan_context(
+        jnp.asarray(s @ R.T, jnp.float32), jnp.asarray(m), 20, 60
+    )
+    scores, shifts = shift_match_scores(d1, d0[None])
+    # rotating the query by +9 sectors matches at shift S-9 (candidate is the
+    # query rotated by -yaw); exact-integer sector rotation scores ~1
+    assert float(scores[0]) > 0.95
+    assert int(shifts[0]) == 60 - 9
+
+
+def test_scan_context_discriminates_locations():
+    scans, _ = synthetic.velodyne_log(n_frames=8, n_rings=12, n_azimuth=256)
+    s0, m0 = _scan(0, scans)
+    s7, m7 = _scan(7, scans)
+    d0 = scan_context(jnp.asarray(s0, jnp.float32), jnp.asarray(m0), 20, 60)
+    d7 = scan_context(jnp.asarray(s7, jnp.float32), jnp.asarray(m7), 20, 60)
+    same, _ = shift_match_scores(d0, d0[None])
+    diff, _ = shift_match_scores(d7, d0[None])
+    assert float(same[0]) > 0.999
+    assert float(diff[0]) < float(same[0]) - 0.2
+
+
+def test_detector_finds_revisit_and_verifies():
+    # loop log at GT poses: the last frames revisit the start region
+    scans, gt = synthetic.velodyne_log(
+        n_frames=24, n_rings=12, n_azimuth=256, loop=True
+    )
+    cfg = BackendConfig(
+        enabled=True, min_loop_separation=12, candidate_topk=3,
+        verify_max_rmse=0.6, gating_radius=15.0,
+    )
+    det = LoopDetector(cfg)
+    cap = 1536
+    padded = []
+    for i in range(len(scans)):
+        s = voxel_downsample_np(scans[i], 0.5)[:cap]
+        pts = np.full((cap, 3), 1.0e6, np.float32)
+        msk = np.zeros(cap, bool)
+        pts[: len(s)] = s
+        msk[: len(s)] = True
+        padded.append((pts, msk))
+        det.add_keyframe(pts, msk, position=gt[i][:3, 3])
+    # query the final keyframe (back near the start)
+    q = len(scans) - 1
+    cands = det.candidates(q)
+    assert cands, "no candidates returned"
+    best = cands[0]
+    assert best.match_idx <= 3, f"revisit not detected: {best}"
+    T_pred = np.linalg.inv(gt[best.match_idx]) @ gt[q]  # odometry estimate role
+    lc = det.verify(
+        best,
+        padded[q][0], padded[q][1],
+        padded[best.match_idx][0], padded[best.match_idx][1],
+        T_pred=T_pred,
+    )
+    assert lc is not None, "verification rejected a true loop"
+    # compare measured relative transform against GT
+    T_gt = np.linalg.inv(gt[best.match_idx]) @ gt[q]
+    t_err = np.linalg.norm(lc.T_ij[:3, 3] - T_gt[:3, 3])
+    assert t_err < 0.5, f"loop transform off by {t_err} m"
