@@ -1,12 +1,13 @@
-"""Headline benchmark: frames/s/chip of the flagship SLAM pipeline.
+"""Headline benchmark: frames/s/chip of the flagship KITTI-config pipeline.
 
-Runs the fused (single-dispatch `lax.scan`) 3D scan-to-scan odometry on a
-synthetic Velodyne-style log — the stand-in for KITTI seq 00 until real data
-is mounted (SURVEY.md §7 "No real datasets") — and compares against the golden
-fp64 CPU ICP (scipy cKDTree), which plays the reference pipeline's role
-(SURVEY.md §0.4). Prints ONE JSON line:
+Runs the fused (single-dispatch `lax.scan`) 3D scan-to-map odometry —
+point-to-plane ICP against the voxel map with keyframe inserts, the
+BASELINE.json config-4 regime — on a synthetic Velodyne-style log (stand-in
+for KITTI seq 00 until real data is mounted, SURVEY.md §7). The baseline is
+the golden fp64 CPU ICP (scipy cKDTree), playing the reference pipeline's
+role (SURVEY.md §0.4). Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
-vs_baseline = TPU frames/s ÷ golden-CPU frames/s on the identical workload.
+vs_baseline = TPU frames/s ÷ golden-CPU frames/s on the same scans.
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ FRAMES = int(os.environ.get("BENCH_FRAMES", "40"))
 CAPACITY = int(os.environ.get("BENCH_CAPACITY", "4096"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "6"))
+MODE = os.environ.get("BENCH_MODE", "scan_to_map")  # scan_to_map | scan_to_scan
 
 
 def _load_scans():
@@ -34,27 +36,55 @@ def _load_scans():
     return [voxel_downsample_np(s, 0.3) for s in scans]
 
 
-def bench_tpu(scans) -> float:
+def _cfg():
+    from tpu_icp_slam.config import (
+        ICPConfig, MappingConfig, PipelineConfig, SlamConfig,
+    )
+
+    return SlamConfig(
+        icp=ICPConfig(
+            method="point_to_plane", max_iters=20, max_corr_dist=1.5,
+            damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
+            min_inliers=50, huber_delta=0.3, tol=1e-5,
+        ),
+        mapping=MappingConfig(
+            map_capacity=65536, local_model_size=8192, map_voxel=0.3
+        ),
+        pipeline=PipelineConfig(
+            mode="scan_to_map", scan_capacity=CAPACITY,
+            keyframe_trans=2.0, keyframe_rot=0.2,
+        ),
+    )
+
+
+def bench_tpu(scans) -> tuple[float, float]:
+    """Returns (frames/s steady, compile_s)."""
     import jax
 
-    from tpu_icp_slam.config import SlamConfig
-    from tpu_icp_slam.slam.pipeline import OdometryPipeline
     from tpu_icp_slam.slam.runner import pad_scans
 
-    cfg = SlamConfig()
+    cfg = _cfg()
     pts, msk = pad_scans(scans, CAPACITY)
-    pipe = OdometryPipeline(cfg, dim=3)
+    if MODE == "scan_to_map":
+        from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+        pipe = ScanToMapPipeline(cfg)
+    else:
+        from tpu_icp_slam.slam.pipeline import OdometryPipeline
+
+        pipe = OdometryPipeline(cfg, dim=3)
     state0 = pipe.init_state(pts[0], msk[0])
-    # warmup: compile + one full pass
+    t0 = time.perf_counter()
     st, infos = pipe.run_fused(state0, pts[1:], msk[1:])
     jax.block_until_ready(infos["pose"])
+    compile_s = time.perf_counter() - t0
     best = np.inf
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         st, infos = pipe.run_fused(state0, pts[1:], msk[1:])
         jax.block_until_ready(infos["pose"])
         best = min(best, time.perf_counter() - t0)
-    return (len(scans) - 1) / best
+    return (len(scans) - 1) / best, compile_s
 
 
 def bench_cpu_golden(scans) -> float:
@@ -69,14 +99,14 @@ def bench_cpu_golden(scans) -> float:
 
 def main() -> int:
     scans = _load_scans()
-    fps = bench_tpu(scans)
+    fps, compile_s = bench_tpu(scans)
     cpu_fps = bench_cpu_golden(scans)
     import jax
 
     print(
         json.dumps(
             {
-                "metric": "odometry_frames_per_s_per_chip_sim3d",
+                "metric": f"{MODE}_frames_per_s_per_chip_sim3d",
                 "value": round(fps, 3),
                 "unit": "frames/s",
                 "vs_baseline": round(fps / cpu_fps, 3),
@@ -84,6 +114,7 @@ def main() -> int:
                 "baseline_fps": round(cpu_fps, 3),
                 "frames": FRAMES,
                 "points_per_scan": CAPACITY,
+                "compile_s": round(compile_s, 1),
                 "platform": jax.default_backend(),
             }
         )

@@ -276,11 +276,14 @@ def velodyne_log(
     loop: bool = False,
     n_boxes: int = 48,
     path_fraction: float = 1.0,
+    waypoints=None,
 ):
     """Simulate a vehicle driving through a 3D world of walls + ground + clutter.
 
     path_fraction < 1 truncates the route so short logs keep a realistic
     (~1 m/frame, KITTI-like) inter-frame motion instead of giant hops.
+    `waypoints` (K, 2) overrides the built-in route (e.g. a compact loop
+    whose full circuit fits a small frame budget at ~1 m/frame).
     Returns (scans: list[(N_i, 3) float64 in sensor frame], gt_poses: (F,4,4)).
     """
     rng = np.random.default_rng(seed)
@@ -288,7 +291,9 @@ def velodyne_log(
     boxes2d = _street_clutter_segments(rng, n_boxes) if n_boxes else None
     wall_h = 6.0
     box_h = 1.6
-    if loop:
+    if waypoints is not None:
+        waypoints = np.asarray(waypoints, np.float64)
+    elif loop:
         waypoints = np.array(
             [(-40, 0), (-8, 0), (16, 0), (36, 0), (36, 16), (8, 18), (-20, 18),
              (-38, 16), (-40, 8), (-39, 1), (-30, 0.2)]

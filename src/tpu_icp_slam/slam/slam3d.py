@@ -42,12 +42,19 @@ class Slam3D:
         self.pipe = ScanToMapPipeline(cfg)
         self.detector = LoopDetector(cfg.backend)
 
-    def run(self, pts: np.ndarray, msk: np.ndarray):
-        """pts (F, C, 3), msk (F, C) -> (poses (F, 4, 4), SlamReport)."""
+    def run(self, pts: np.ndarray, msk: np.ndarray, mode: str = "fused"):
+        """pts (F, C, 3), msk (F, C) -> (poses (F, 4, 4), SlamReport).
+
+        mode="fused": the whole odometry front-end is ONE device dispatch
+        (`lax.scan`); keyframe flags come back with the per-frame infos and
+        the backend (descriptors, loop verification, pose graph) runs as a
+        batch pass after — the offline/bench shape. mode="streaming" steps
+        frame by frame with the backend interleaved per keyframe — the
+        live-sensor shape. Both produce the same factors.
+        """
         cfg = self.cfg
         state = self.pipe.init_state(pts[0], msk[0])
         poses = [np.eye(4)]
-        # keyframe store: index -> (frame, pose-at-solve, scan)
         kf_frames = [0]
         kf_poses = [np.eye(4)]
         self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(3))
@@ -56,29 +63,46 @@ class Slam3D:
         closures: list[LoopClosure] = []
         n_cands = 0
 
-        for f in range(1, len(pts)):
-            state, info = self.pipe.step(state, pts[f], msk[f])
-            pose = np.asarray(info["pose"], np.float64)
-            poses.append(pose)
-            if bool(info["is_keyframe"]):
-                kf_idx = self.detector.add_keyframe(
-                    pts[f], msk[f], position=pose[:3, 3]
-                )
-                kf_frames.append(f)
-                kf_poses.append(pose)
-                # loop search for this keyframe
-                if cfg.backend.enabled:
-                    for cand in self.detector.candidates(kf_idx):
-                        n_cands += 1
-                        mi = cand.match_idx
-                        lc = self.detector.verify(
-                            cand,
-                            pts[f], msk[f],
-                            pts[kf_frames[mi]], msk[kf_frames[mi]],
-                        )
-                        if lc is not None:
-                            closures.append(lc)
-            anchor_kf.append(len(kf_frames) - 1)
+        def on_keyframe(f, pose):
+            nonlocal n_cands
+            kf_idx = self.detector.add_keyframe(
+                pts[f], msk[f], position=pose[:3, 3]
+            )
+            kf_frames.append(f)
+            kf_poses.append(pose)
+            if cfg.backend.enabled:
+                for cand in self.detector.candidates(kf_idx):
+                    n_cands += 1
+                    mi = cand.match_idx
+                    fi_, fj_ = kf_frames[mi], f
+                    T_pred = np.linalg.inv(kf_poses[mi]) @ pose
+                    lc = self.detector.verify(
+                        cand,
+                        pts[fj_], msk[fj_],
+                        pts[fi_], msk[fi_],
+                        T_pred=T_pred,
+                    )
+                    if lc is not None:
+                        closures.append(lc)
+
+        if mode == "fused":
+            state, infos = self.pipe.run_fused(state, pts[1:], msk[1:])
+            all_poses = np.asarray(infos["pose"], np.float64)
+            kf_flags = np.asarray(infos["is_keyframe"])
+            for f in range(1, len(pts)):
+                pose = all_poses[f - 1]
+                poses.append(pose)
+                if bool(kf_flags[f - 1]):
+                    on_keyframe(f, pose)
+                anchor_kf.append(len(kf_frames) - 1)
+        else:
+            for f in range(1, len(pts)):
+                state, info = self.pipe.step(state, pts[f], msk[f])
+                pose = np.asarray(info["pose"], np.float64)
+                poses.append(pose)
+                if bool(info["is_keyframe"]):
+                    on_keyframe(f, pose)
+                anchor_kf.append(len(kf_frames) - 1)
 
         poses = np.stack(poses)
         report = SlamReport(
