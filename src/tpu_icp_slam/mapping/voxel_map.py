@@ -120,3 +120,28 @@ def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
 
 def count(vm: VoxelMap) -> jnp.ndarray:
     return jnp.sum(vm.mask.astype(jnp.int32))
+
+
+def render_png(vm: VoxelMap, path: str, trajectory=None) -> None:
+    """Top-down map render (height-colored) — the headless stand-in for the
+    reference's GL point view (SURVEY.md §2c, R2 row), 3D edition."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    pts = np.asarray(vm.points)[np.asarray(vm.mask)]
+    fig, ax = plt.subplots(figsize=(10, 10))
+    if len(pts):
+        ax.scatter(pts[:, 0], pts[:, 1], c=pts[:, 2], s=0.5, cmap="viridis",
+                   rasterized=True)
+    if trajectory is not None:
+        t = np.asarray(trajectory)
+        ax.plot(t[:, 0], t[:, 1], "r-", linewidth=1.2, label="trajectory")
+        ax.legend(loc="upper right")
+    ax.set_aspect("equal")
+    ax.set_xlabel("x [m]")
+    ax.set_ylabel("y [m]")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)

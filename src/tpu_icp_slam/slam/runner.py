@@ -221,6 +221,15 @@ def run_slam(
             if out_dir:
                 os.makedirs(out_dir, exist_ok=True)
                 np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+                if slam.final_state is not None:
+                    from tpu_icp_slam.mapping import voxel_map as vmr
+
+                    vmr.render_png(
+                        slam.final_state.vmap,
+                        os.path.join(out_dir, "map.png"),
+                        trajectory=poses[:, :3, 3],
+                    )
+                    report["map_png"] = os.path.join(out_dir, "map.png")
                 with open(os.path.join(out_dir, "report.json"), "w") as fh:
                     json.dump(report, fh, indent=2)
             metrics_log.log(
@@ -262,8 +271,32 @@ def run_slam(
     else:
         with timer.span("run_streaming"):
             for i in range(start_idx, len(pts)):
-                state, info = pipe.step(state, pts[i], msk[i])
-                poses.append(np.asarray(info["pose"]))
+                # failure detection (SURVEY.md §5): a corrupt frame (NaN/inf
+                # input, sensor glitch) must not poison the run — under jit
+                # nothing raises, so detect by value: non-finite pose => drop
+                # the frame, keep the previous state, log, continue
+                prev_state = state
+                try:
+                    state, info = pipe.step(state, pts[i], msk[i])
+                    pose_np = np.asarray(info["pose"])
+                except Exception as exc:  # host-side failure: skip the frame
+                    metrics_log.log("frame_error", frame=i, error=repr(exc))
+                    state = prev_state
+                    poses.append(poses[-1])
+                    continue
+                rmse = float(info["rmse"]) if "rmse" in info else 0.0
+                n_inl = int(info["n_inliers"]) if "n_inliers" in info else 1
+                bad = (not np.isfinite(pose_np).all()) or (
+                    not np.isfinite(rmse)
+                ) or n_inl == 0
+                if bad:
+                    metrics_log.log(
+                        "frame_skipped_degenerate", frame=i, n_inliers=n_inl
+                    )
+                    state = prev_state
+                    poses.append(poses[-1])
+                    continue
+                poses.append(pose_np)
                 if checkpoint_every and out_dir and i % checkpoint_every == 0:
                     from tpu_icp_slam.slam.checkpoint import save_checkpoint
 
@@ -290,6 +323,15 @@ def run_slam(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+        if getattr(state, "vmap", None) is not None:
+            from tpu_icp_slam.mapping import voxel_map as vmr
+
+            vmr.render_png(
+                state.vmap,
+                os.path.join(out_dir, "map.png"),
+                trajectory=poses[:, :3, 3],
+            )
+            report["map_png"] = os.path.join(out_dir, "map.png")
         if getattr(state, "grid", None) is not None:
             from tpu_icp_slam.mapping import occupancy2d
 

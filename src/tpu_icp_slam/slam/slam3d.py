@@ -85,6 +85,7 @@ class Slam3D:
                     if lc is not None:
                         closures.append(lc)
 
+        self.final_state = None
         if mode == "fused":
             state, infos = self.pipe.run_fused(state, pts[1:], msk[1:])
             all_poses = np.asarray(infos["pose"], np.float64)
@@ -105,6 +106,7 @@ class Slam3D:
                 anchor_kf.append(len(kf_frames) - 1)
 
         poses = np.stack(poses)
+        self.final_state = state  # exposes the voxel map for artifact renders
         report = SlamReport(
             n_frames=len(pts),
             n_keyframes=len(kf_frames),
