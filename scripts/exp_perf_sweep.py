@@ -25,8 +25,10 @@ def run(tag, **kw):
     pts, msk = pad_scans(scans, 4096)
     pipe = ScanToMapPipeline(cfg)
     st0 = pipe.init_state(pts[0], msk[0])
+    t0 = time.perf_counter()
     st, infos = pipe.run_fused(st0, pts[1:], msk[1:])
     jax.block_until_ready(infos['pose'])
+    comp = time.perf_counter()-t0
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
@@ -34,12 +36,12 @@ def run(tag, **kw):
         jax.block_until_ready(infos['pose'])
         best = min(best, time.perf_counter()-t0)
     it = float(np.asarray(infos['iters']).mean())
-    print(f"{tag}: {39/best:.0f} fps  us/frame={best/39*1e6:.0f}  iters={it:.1f}", flush=True)
+    print(f"{tag}: {39/best:.0f} fps  us/frame={best/39*1e6:.0f}  iters={it:.1f} compile={comp:.0f}s", flush=True)
 
-run('base lms8192 cap64k')
-run('lms2048', lms=2048)
-run('lms16384', lms=16384)
-run('mapcap16k', mapcap=16384)
-run('kft1e9 (no keyframes ever)', kft=1e9)
-run('iters5', iters=5)
-run('nn=xla', nn='xla')
+for spec in sys.argv[1:]:
+    name, _, kvs = spec.partition(':')
+    kw = {}
+    for kv in kvs.split(',') if kvs else []:
+        k, v = kv.split('=')
+        kw[k] = v if k in ('nn','method') else (float(v) if '.' in v or 'e' in v else int(v))
+    run(name, **kw)

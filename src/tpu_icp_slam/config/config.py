@@ -60,6 +60,9 @@ class PipelineConfig:
     keyframe_max_rmse: float = 0.6  # ... or rmse below this even if not converged
     normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
     motion_model: str = "constant_velocity"  # constant_velocity | identity
+    donate_state: bool = False  # donate the state pytree to the jitted step
+    # (in-place map/grid update, no copy; incompatible with the runner's
+    # revert-on-fault path, so off by default)
     motion_damping: float = 0.5  # scale on the constant-velocity twist (0=identity);
     # full CV (1.0) is unstable in the scan-to-map feedback loop (see
     # slam/scan_to_map._step) — 0.25–0.5 measured best on the synthetic logs
@@ -98,6 +101,21 @@ class BenchConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class DebugConfig:
+    nans: bool = False  # jax_debug_nans: trap NaN at the op that produced it
+    log_compiles: bool = False  # jax_log_compiles: surface silent retraces
+
+
+def apply_debug(cfg: "DebugConfig") -> None:
+    """Wire the debug toggles into the jax runtime (SURVEY.md §5 sanitizers
+    row — the functional-JAX stand-in for cuda-memcheck-style tooling)."""
+    import jax
+
+    jax.config.update("jax_debug_nans", bool(cfg.nans))
+    jax.config.update("jax_log_compiles", bool(cfg.log_compiles))
+
+
+@dataclasses.dataclass(frozen=True)
 class SlamConfig:
     icp: ICPConfig = dataclasses.field(default_factory=ICPConfig)
     mapping: MappingConfig = dataclasses.field(default_factory=MappingConfig)
@@ -105,6 +123,7 @@ class SlamConfig:
     backend: BackendConfig = dataclasses.field(default_factory=BackendConfig)
     dist: DistConfig = dataclasses.field(default_factory=DistConfig)
     bench: BenchConfig = dataclasses.field(default_factory=BenchConfig)
+    debug: DebugConfig = dataclasses.field(default_factory=DebugConfig)
 
 
 def _to_dict(cfg) -> Any:

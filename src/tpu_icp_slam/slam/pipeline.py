@@ -45,7 +45,10 @@ class OdometryPipeline:
     def __init__(self, cfg: SlamConfig, dim: int):
         self.cfg = cfg
         self.dim = dim
-        self._step = jax.jit(functools.partial(_step, cfg=cfg, dim=dim))
+        donate = (0,) if cfg.pipeline.donate_state else ()
+        self._step = jax.jit(
+            functools.partial(_step, cfg=cfg, dim=dim), donate_argnums=donate
+        )
         self._fused = jax.jit(functools.partial(_fused_run, cfg=cfg, dim=dim))
 
     def init_state(self, first_points, first_mask, with_grid: bool = None) -> OdomState:

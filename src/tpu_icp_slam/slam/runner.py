@@ -360,6 +360,9 @@ def _build_cfg(args) -> SlamConfig:
 
 def run_from_cli(args) -> int:
     cfg = _build_cfg(args)
+    from tpu_icp_slam.config import apply_debug
+
+    apply_debug(cfg.debug)
     data = load_dataset(args.dataset, args.frames)
     mode = "streaming" if (args.resume or args.checkpoint_every) else "fused"
     _, report = run_slam(

@@ -47,7 +47,10 @@ class ScanToMapPipeline:
 
     def __init__(self, cfg: SlamConfig):
         self.cfg = cfg
-        self._step = jax.jit(functools.partial(_step, cfg=cfg))
+        donate = (0,) if cfg.pipeline.donate_state else ()
+        self._step = jax.jit(
+            functools.partial(_step, cfg=cfg), donate_argnums=donate
+        )
         self._fused = jax.jit(functools.partial(_fused_run, cfg=cfg))
 
     def init_state(self, first_points, first_mask) -> MapOdomState:
