@@ -29,6 +29,7 @@ class ICPConfig:
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged
     nn_backend: str = "auto"  # auto | pallas | xla | voxel
+    gn_backend: str = "auto"  # auto | pallas | xla (fused GN accumulation)
     nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
     voxel_table_size: int = 16384  # hash-grid slots (power of two), voxel backend
     voxel_bucket: int = 16  # max points per hash bucket, voxel backend

@@ -121,11 +121,21 @@ def align_with_correspondence(
         if cfg.method == "point_to_plane":
             if n is None:
                 raise ValueError("point_to_plane requires target normals")
+            gn_backend = cfg.gn_backend
+            if gn_backend == "auto":
+                import jax as _jax
+
+                gn_backend = (
+                    "pallas"
+                    if _jax.default_backend() in ("tpu", "axon")
+                    else "xla"
+                )
             dT = gauss_newton_step(
                 cur, q, n, w,
                 damping=cfg.damping,
                 max_step_trans=cfg.max_step_trans,
                 max_step_rot=cfg.max_step_rot,
+                backend=gn_backend,
             )
         else:
             dT = umeyama_masked(cur, q, w)

@@ -77,9 +77,19 @@ def gauss_newton_step(
     damping: float = 1e-6,
     max_step_trans: float = 0.0,
     max_step_rot: float = 0.0,
+    backend: str = "xla",
 ) -> jnp.ndarray:
-    """One damped GN update: returns dT (D+1, D+1) to left-compose onto T."""
+    """One damped GN update: returns dT (D+1, D+1) to left-compose onto T.
+
+    backend="pallas" (3D, f32) uses the fused single-pass accumulation kernel
+    (kernels/gn_pallas.py) — the Jacobian never materializes in HBM.
+    """
     d = p.shape[-1]
-    H, g = build_normal_equations(p, q, n, w)
+    if backend == "pallas" and d == 3 and p.dtype == jnp.float32:
+        from tpu_icp_slam.kernels.gn_pallas import gn_accum_pallas
+
+        H, g = gn_accum_pallas(p, q, n, w)
+    else:
+        H, g = build_normal_equations(p, q, n, w)
     xi = solve_increment(H, g, damping, max_step_trans, max_step_rot)
     return se3.exp(xi) if d == 3 else se2.exp(xi)
