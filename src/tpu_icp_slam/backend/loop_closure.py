@@ -38,8 +38,13 @@ def scan_context(
     sectors: int = 60,
     max_range: float = 60.0,
 ) -> jnp.ndarray:
-    """(N, 3) sensor-frame scan -> (rings, sectors) max-height descriptor."""
-    x, y, z = points[:, 0], points[:, 1], points[:, 2]
+    """Sensor-frame scan -> (rings, sectors) polar descriptor.
+
+    3D scans (N, 3): max point height per (range, azimuth) bin (classic scan
+    context). 2D scans (N, 2): occupancy count per bin (the grid
+    cross-correlation analogue, SURVEY.md §2b N13) — there is no height axis.
+    """
+    x, y = points[:, 0], points[:, 1]
     r = jnp.sqrt(x * x + y * y)
     ring = jnp.clip((r / max_range * rings).astype(jnp.int32), 0, rings - 1)
     theta = jnp.arctan2(y, x)  # [-pi, pi)
@@ -47,11 +52,15 @@ def scan_context(
         ((theta + jnp.pi) / (2 * jnp.pi) * sectors).astype(jnp.int32), 0, sectors - 1
     )
     flat = ring * sectors + sector
-    # max-height per bin; invalid points write -inf (then floored to 0)
-    zval = jnp.where(mask, z, -jnp.inf)
-    desc = jnp.full((rings * sectors,), -jnp.inf, points.dtype)
-    desc = desc.at[flat].max(zval)
-    desc = jnp.where(jnp.isfinite(desc), desc, 0.0)
+    if points.shape[1] >= 3:
+        # max-height per bin; invalid points write -inf (then floored to 0)
+        zval = jnp.where(mask, points[:, 2], -jnp.inf)
+        desc = jnp.full((rings * sectors,), -jnp.inf, points.dtype)
+        desc = desc.at[flat].max(zval)
+        desc = jnp.where(jnp.isfinite(desc), desc, 0.0)
+    else:
+        ones = jnp.where(mask, 1.0, 0.0).astype(points.dtype)
+        desc = jnp.zeros((rings * sectors,), points.dtype).at[flat].add(ones)
     return desc.reshape(rings, sectors)
 
 
@@ -222,10 +231,11 @@ class LoopDetector:
         shifts = list(np.argsort(-row)[:4])
         yaws = [sh * 2 * np.pi / s_sec for sh in shifts]
         yaws += [0.0, np.pi / 2, np.pi, -np.pi / 2]
+        d = int(np.asarray(query_points).shape[1])
         inits = []
         for y in yaws:
             c, s = np.cos(y), np.sin(y)
-            T0 = np.eye(4, dtype=np.float32)
+            T0 = np.eye(d + 1, dtype=np.float32)
             T0[:2, :2] = [[c, -s], [s, c]]
             inits.append(T0)
         inits = jnp.asarray(np.stack(inits))
@@ -246,7 +256,7 @@ class LoopDetector:
         ok = (rmses <= self.cfg.verify_max_rmse) & (inls >= 0.3 * max(n_valid, 1))
         if T_pred is not None and self.cfg.verify_max_dev > 0:
             t_dev = np.linalg.norm(
-                Ts[:, :3, 3] - np.asarray(T_pred)[None, :3, 3], axis=1
+                Ts[:, :d, d] - np.asarray(T_pred)[None, :d, d], axis=1
             )
             ok &= t_dev <= self.cfg.verify_max_dev
         if not ok.any():

@@ -220,6 +220,18 @@ def lidar2d_log(
     xy = np.stack(
         [np.interp(s, cum, waypoints[:, i]) for i in range(2)], axis=1
     )
+    # smooth polyline corners (robots turn over several frames; raw corners
+    # give >0.5 rad/frame yaw steps no odometry can track)
+    win = max(3, n_frames // 16) | 1
+    kern = np.ones(win) / win
+    pad = win // 2
+    xy = np.stack(
+        [
+            np.convolve(np.pad(xy[:, i], pad, mode="edge"), kern, mode="valid")
+            for i in range(2)
+        ],
+        axis=1,
+    )
     heading = np.arctan2(*np.flip(np.gradient(xy, axis=0), axis=1).T)
     poses = np.zeros((n_frames, 3, 3))
     ranges = np.zeros((n_frames, n_beams))
