@@ -46,6 +46,8 @@ def _cfg():
             method="point_to_plane", max_iters=20, max_corr_dist=1.5,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=50, huber_delta=0.3, tol=1e-5,
+            step_scale=1.4, tol_update=0.01,  # over-relaxed ICP: ~2.2x fewer
+            # iterations at equal ATE (BASELINE.md)
         ),
         mapping=MappingConfig(
             map_capacity=65536, local_model_size=8192, map_voxel=0.3

@@ -22,15 +22,21 @@ class ICPConfig:
     method: str = "point_to_point"  # point_to_point | point_to_plane | projective
     max_iters: int = 30
     tol: float = 1e-6  # convergence: |rmse_prev - rmse| < tol
+    tol_update: float = 0.0  # >0: also converge when the step's translation
+    # magnitude drops below this (meters) — direct and noise-immune
     max_corr_dist: float = 1e9  # correspondence distance gate (meters)
     normal_gate_cos: float = -1.0  # reject pairs with normal dot < this
     damping: float = 1e-6  # Levenberg damping for the 6x6 GN solve
+    step_scale: float = 1.0  # >1: over-relax each ICP update (Besl-McKay-style
+    # extrapolation; plain ICP undershoots because correspondences lag)
     max_step_trans: float = 0.0  # >0: clamp per-iteration GN translation (m)
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged
     nn_backend: str = "auto"  # auto | pallas | xla | voxel
     gn_backend: str = "auto"  # auto | pallas | xla (fused GN accumulation)
     nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
+    nn_tile_m: int = 0  # Pallas NN source-tile rows (0 = kernel default)
+    nn_tile_n: int = 0  # Pallas NN target-tile rows (0 = kernel default)
     voxel_table_size: int = 16384  # hash-grid slots (power of two), voxel backend
     voxel_bucket: int = 16  # max points per hash bucket, voxel backend
     huber_delta: float = 0.0  # 0 = plain least squares

@@ -63,7 +63,8 @@ def _nn_correspondence(cfg: ICPConfig, dst: PointCloud):
             idx, _ = voxel_nn.query(grid, cur_pts, voxel=cfg.max_corr_dist)
         else:
             idx, _ = nearest_neighbor(
-                cur_pts, dst.points, backend=cfg.nn_backend, chunk=cfg.nn_chunk
+                cur_pts, dst.points, backend=cfg.nn_backend, chunk=cfg.nn_chunk,
+                tile_m=cfg.nn_tile_m, tile_n=cfg.nn_tile_n,
             )
         q = dst.points[idx]
         n = dst.normals[idx] if dst.normals is not None else None
@@ -139,6 +140,17 @@ def align_with_correspondence(
             )
         else:
             dT = umeyama_masked(cur, q, w)
+        if cfg.step_scale != 1.0:
+            # over-relaxation: scale the update twist — correspondence-lagged
+            # ICP steps undershoot, so β ∈ (1, 2) cuts iteration counts
+            if d == 3:
+                from tpu_icp_slam.core import se3 as _se3
+
+                dT = _se3.exp(cfg.step_scale * _se3.log(dT))
+            else:
+                from tpu_icp_slam.core import se2 as _se2
+
+                dT = _se2.exp(cfg.step_scale * _se2.log(dT))
         # degenerate-correspondence guard: with too few inliers the solve is
         # meaningless — hold the pose (the motion-model init survives)
         min_inl = max(cfg.min_inliers, d + 1)
@@ -147,6 +159,11 @@ def align_with_correspondence(
         wsum = jnp.maximum(jnp.sum(w), 1e-12)
         rmse = jnp.sqrt(jnp.sum(w * d2) / wsum)
         converged = jnp.abs(prev_rmse - rmse) < cfg.tol
+        if cfg.tol_update > 0.0:
+            step_mag = jnp.linalg.norm(dT[:d, d]) + jnp.linalg.norm(
+                dT[:d, :d] - jnp.eye(d, dtype=dtype)
+            )
+            converged = jnp.logical_or(converged, step_mag < cfg.tol_update)
         return (T_new, rmse, rmse, it + 1, n_inl, converged)
 
     def cond(state):

@@ -26,6 +26,8 @@ def nearest_neighbor(
     dst: jnp.ndarray,
     backend: str = "auto",
     chunk: int = 2048,
+    tile_m: int = 0,
+    tile_n: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D), (N, D) -> (idx (M,) int32, dist_sq (M,) f32)."""
     if backend == "auto":
@@ -33,7 +35,12 @@ def nearest_neighbor(
     if backend == "pallas":
         from tpu_icp_slam.kernels.nn_pallas import nn_bruteforce_pallas
 
-        return nn_bruteforce_pallas(src, dst)
+        kw = {}
+        if tile_m:
+            kw["tile_m"] = tile_m
+        if tile_n:
+            kw["tile_n"] = tile_n
+        return nn_bruteforce_pallas(src, dst, **kw)
     if backend == "xla":
         return nn_bruteforce_xla(src, dst, chunk=chunk)
     raise ValueError(f"unknown NN backend: {backend}")

@@ -85,8 +85,8 @@ def _round_up(x: int, m: int) -> int:
 def nn_bruteforce_pallas(
     src: jnp.ndarray,
     dst: jnp.ndarray,
-    tile_m: int = 512,
-    tile_n: int = 4096,
+    tile_m: int = 1024,
+    tile_n: int = 8192,
     interpret: bool | None = None,
     exact: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -97,6 +97,10 @@ def nn_bruteforce_pallas(
     off). exact=True uses full-f32 matmul passes (HIGHEST) instead of bf16x3.
     dist_sq comes from the factored form: recompute in difference form where
     f32 cancellation matters (icp.loop does).
+
+    Tile defaults are the measured optimum of the fused scan-to-map pipeline
+    on the axon v5e (512×4096: 31.7k fps, 1024×8192: 39.8k fps, 2048×8192:
+    33.4k, 4096×8192: VMEM OOM at the 16 MB scoped limit).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

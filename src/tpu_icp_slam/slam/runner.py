@@ -240,6 +240,38 @@ def run_slam(
         from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
         pipe = ScanToMapPipeline(cfg)
+    elif data.dim == 2 and cfg.backend.enabled:
+        # 2D family with loop closure + pose graph
+        from tpu_icp_slam.slam.slam2d import Slam2D
+
+        slam = Slam2D(cfg)
+        with timer.span("slam2d"):
+            poses, srep = slam.run(pts, msk)
+        report = {
+            "frames": len(poses),
+            "dataset": data.name,
+            "config_hash": config_hash(cfg),
+            "mode": "slam2d",
+            "n_keyframes": srep.n_keyframes,
+            "n_loop_candidates": srep.n_loop_candidates,
+            "n_loop_closures": srep.n_loop_closures,
+            "timers": timer.summary(),
+        }
+        if data.gt_poses is not None:
+            from tpu_icp_slam.eval import metrics as em
+
+            gt = data.gt_poses[: len(poses)]
+            report["ate_rmse"] = em.ate_rmse(poses[:, :2, 2], gt[:, :2, 2])
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+            with open(os.path.join(out_dir, "report.json"), "w") as fh:
+                json.dump(report, fh, indent=2)
+        metrics_log.log(
+            "done", **{k: v for k, v in report.items() if not isinstance(v, dict)}
+        )
+        metrics_log.close()
+        return poses, report
     else:
         pipe = OdometryPipeline(cfg, dim=data.dim)
     start_idx = 1
