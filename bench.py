@@ -26,6 +26,7 @@ CAPACITY = int(os.environ.get("BENCH_CAPACITY", "4096"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "6"))
 MODE = os.environ.get("BENCH_MODE", "scan_to_map")  # scan_to_map | scan_to_scan
+TRACE_DIR = os.environ.get("BENCH_TRACE_DIR", "")  # capture a profiler trace
 
 
 def _load_scans():
@@ -81,11 +82,17 @@ def bench_tpu(scans) -> tuple[float, float]:
     jax.block_until_ready(infos["pose"])
     compile_s = time.perf_counter() - t0
     best = np.inf
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        st, infos = pipe.run_fused(state0, pts[1:], msk[1:])
-        jax.block_until_ready(infos["pose"])
-        best = min(best, time.perf_counter() - t0)
+    import contextlib
+
+    from tpu_icp_slam.obs import profile as prof
+
+    tracer = prof.trace(TRACE_DIR) if TRACE_DIR else contextlib.nullcontext()
+    with tracer:
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            st, infos = pipe.run_fused(state0, pts[1:], msk[1:])
+            jax.block_until_ready(infos["pose"])
+            best = min(best, time.perf_counter() - t0)
     return (len(scans) - 1) / best, compile_s
 
 

@@ -135,12 +135,33 @@ class Slam3D:
             max_factors=min(max(len(factors), 2), cfg.backend.max_factors),
             dtype=jnp.float64,
         )
-        graph_opt, chis = pg.optimize(
-            graph,
-            iters=cfg.backend.pg_iters,
-            damping=cfg.backend.pg_damping,
-            huber_delta=cfg.backend.huber_delta,
-        )
+        import math
+
+        n_blocks = math.prod(cfg.dist.mesh_shape)
+        if n_blocks > 1:
+            # config-5 path: keyframe blocks partitioned over the mesh,
+            # Schur-reduced separator system (backend/schur.py)
+            import jax as _jax
+
+            from tpu_icp_slam.backend import schur
+            from tpu_icp_slam.dist import make_mesh
+
+            n_dev = min(n_blocks, len(_jax.devices()))
+            mesh = make_mesh(n_dev, axes=("graph",))
+            graph_opt, chis = schur.optimize_distributed(
+                graph,
+                mesh,
+                iters=cfg.backend.pg_iters,
+                damping=cfg.backend.pg_damping,
+                huber_delta=cfg.backend.huber_delta,
+            )
+        else:
+            graph_opt, chis = pg.optimize(
+                graph,
+                iters=cfg.backend.pg_iters,
+                damping=cfg.backend.pg_damping,
+                huber_delta=cfg.backend.huber_delta,
+            )
         kf_opt = np.asarray(graph_opt.poses)[: len(kf_poses)]
         report.chi2 = [float(c) for c in np.asarray(chis)]
 
