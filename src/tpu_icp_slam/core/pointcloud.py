@@ -102,12 +102,18 @@ def round_up(n: int, m: int) -> int:
 
 
 def voxel_downsample_np(points: np.ndarray, voxel: float) -> np.ndarray:
-    """Host-side voxel-grid downsample (first point per voxel), numpy.
+    """Host-side voxel-grid downsample (first point per voxel), native/numpy.
 
     Used by dataset loaders before padding (the 'Velodyne downsampled' step of
     BASELINE.json config 4). Deterministic: keeps the first point per voxel in
-    scan order.
+    scan order. Fast path is the C hash-table pass (tpu_icp_slam.native);
+    falls back to the numpy sort when the native lib is unavailable.
     """
+    from tpu_icp_slam import native
+
+    out = native.voxel_downsample(points, voxel)
+    if out is not None:
+        return out
     keys = np.floor(points / voxel).astype(np.int64)
     # lexicographic unique over rows
     _, idx = np.unique(keys, axis=0, return_index=True)

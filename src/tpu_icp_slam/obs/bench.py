@@ -147,8 +147,35 @@ def bench_scaling(repeats: int = 3, points: int = 4096) -> dict:
     base = rows[0]["aligns_per_s"]
     for r in rows:
         r["efficiency"] = round(r["aligns_per_s"] / (base * r["devices"]), 3)
+
+    # distributed Schur pose-graph step over the same device counts
+    from tpu_icp_slam.backend import pose_graph as pgm
+    from tpu_icp_slam.backend import schur as schur_m
+
+    rng = np.random.default_rng(0)
+    n_kf = 64
+    chain = [np.eye(4)]
+    factors = []
+    for i in range(1, n_kf):
+        rel = synthetic.rigid_transform(3, rng, rot_scale=0.1, trans_scale=1.0)
+        chain.append(chain[-1] @ rel)
+        factors.append((i - 1, i, rel, 1.0))
+    factors.append((0, n_kf - 1, np.linalg.inv(chain[0]) @ chain[-1], 2.0))
+    g = pgm.from_arrays(np.stack(chain), factors, dtype=jnp.float32)
+    schur_rows = []
+    for d in counts:
+        gmesh = make_mesh(d, axes=("graph",))
+
+        def one():
+            out, _ = schur_m.optimize_distributed(
+                g, gmesh, iters=2, damping=1e-6
+            )
+            return out.poses
+
+        dt = _steady(one, repeats)
+        schur_rows.append({"devices": d, "gn_steps_per_s": round(2.0 / dt, 2)})
     return {"metric": "sharded_align_scaling", "rows": rows,
-            "unit": "aligns/s", "points": points}
+            "schur_rows": schur_rows, "unit": "aligns/s", "points": points}
 
 
 def bench_from_cli(args) -> int:
