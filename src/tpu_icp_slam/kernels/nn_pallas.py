@@ -80,7 +80,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_m", "tile_n", "interpret", "exact")
+    jax.jit, static_argnames=("tile_m", "tile_n", "interpret")
 )
 def nn_bruteforce_pallas(
     src: jnp.ndarray,
@@ -88,15 +88,13 @@ def nn_bruteforce_pallas(
     tile_m: int = 1024,
     tile_n: int = 8192,
     interpret: bool | None = None,
-    exact: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D), (N, D) f32 -> (idx (M,) int32, dist_sq (M,) f32).
 
     Shapes need not be tile-aligned; inputs are padded here (sentinel 1e6 for
     targets so padding never wins, zeros for sources whose outputs are sliced
-    off). exact=True uses full-f32 matmul passes (HIGHEST) instead of bf16x3.
-    dist_sq comes from the factored form: recompute in difference form where
-    f32 cancellation matters (icp.loop does).
+    off). dist_sq comes from the factored form: recompute in difference form
+    where f32 cancellation matters (icp.loop does).
 
     Tile defaults are the measured optimum of the fused scan-to-map pipeline
     on the axon v5e (512×4096: 31.7k fps, 1024×8192: 39.8k fps, 2048×8192:
@@ -126,8 +124,7 @@ def nn_bruteforce_pallas(
     b_aug = jnp.pad(b_aug, ((0, 0), (0, lanes_pad)))
 
     # Mosaic rejects Precision.HIGH (bf16x3); DEFAULT's single bf16 pass is
-    # too coarse for scene-scale coordinates, so both modes use HIGHEST.
-    del exact
+    # too coarse for scene-scale coordinates, so always use HIGHEST.
     precision = jax.lax.Precision.HIGHEST
     grid = (mp // tile_m, np_ // tile_n)
     e_min, idx = pl.pallas_call(
