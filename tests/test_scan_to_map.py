@@ -162,3 +162,29 @@ def test_scan_to_map_streaming_matches_fused():
     np.testing.assert_allclose(
         np.asarray(infos["pose"]), np.stack(stream_poses), rtol=1e-5, atol=1e-5
     )
+
+
+def test_run_kitti_dir_end_to_end(tmp_path):
+    """Drop-in format check: write a KITTI-layout dir, run SLAM via the runner."""
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.slam.runner import load_dataset, run_slam
+
+    scans, poses = synthetic.velodyne_log(
+        n_frames=4, n_rings=6, n_azimuth=96, path_fraction=0.15
+    )
+    kitti.write_sequence(str(tmp_path / "seq"), scans, poses)
+    (tmp_path / "seq" / "velodyne").exists()
+    data = load_dataset(str(tmp_path / "seq"), frames=4)
+    assert data.dim == 3 and len(data.scans) == 4
+    cfg = SlamConfig(
+        icp=ICPConfig(method="point_to_point", max_iters=8, max_corr_dist=2.0,
+                      nn_backend="xla"),
+        mapping=MappingConfig(map_capacity=4096, local_model_size=512,
+                              map_voxel=0.5),
+        pipeline=PipelineConfig(mode="scan_to_map", scan_capacity=512,
+                                downsample_voxel=0.8),
+    )
+    out, report = run_slam(cfg, data, out_dir=str(tmp_path / "out"))
+    assert np.isfinite(out).all()
+    assert "ate_rmse" in report
+    assert (tmp_path / "out" / "map.png").exists()
