@@ -240,8 +240,10 @@ def run_slam(
         from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
         pipe = ScanToMapPipeline(cfg)
-    elif data.dim == 2 and cfg.backend.enabled:
-        # 2D family with loop closure + pose graph
+    elif data.dim == 2 and (
+        cfg.backend.enabled or cfg.pipeline.mode == "scan_to_map"
+    ):
+        # 2D family with map-based front-end and/or loop closure + pose graph
         from tpu_icp_slam.slam.slam2d import Slam2D
 
         slam = Slam2D(cfg)

@@ -56,3 +56,36 @@ def test_slam2d_loop_closure_reduces_final_error():
     ate = em.ate_rmse(poses[:, :2, 2], gt_rel[: len(poses), :2, 2])
     ate_odo = em.ate_rmse(p_odo[:, :2, 2], gt_rel[: len(p_odo), :2, 2])
     assert ate <= ate_odo * 1.05, (ate, ate_odo)
+
+
+def test_slam2d_scan_to_map_mode_tracks_tightly():
+    """2D scan-to-map (z=0 lift): drift orders of magnitude under scan-to-scan."""
+    import dataclasses as dc
+
+    from tpu_icp_slam.config import MappingConfig
+
+    log = synthetic.lidar2d_log(n_frames=60, n_beams=360, seed=0, noise=0.005,
+                                loop=True)
+    scans = [
+        synthetic.scan_to_points(log.ranges[i], log.angles, log.max_range)
+        for i in range(60)
+    ]
+    gt_rel = np.einsum(
+        "ij,fjk->fik", np.linalg.inv(log.gt_poses[0]), log.gt_poses
+    )
+    cfg = SlamConfig(
+        icp=ICPConfig(method="point_to_point", max_iters=25, max_corr_dist=0.7,
+                      nn_backend="xla", damping=1e-3, max_step_trans=0.5,
+                      max_step_rot=0.3, min_inliers=50, huber_delta=0.3,
+                      step_scale=1.4, tol_update=0.002),
+        mapping=MappingConfig(map_capacity=16384, local_model_size=2048,
+                              map_voxel=0.08),
+        pipeline=PipelineConfig(mode="scan_to_map", scan_capacity=512,
+                                keyframe_trans=0.8, keyframe_rot=0.2),
+        backend=BackendConfig(enabled=False),
+    )
+    pts, msk = pad_scans(scans, 512)
+    slam = Slam2D(cfg, sensor_max_range=log.max_range)
+    poses, rep = slam.run(pts, msk)
+    ate = em.ate_rmse(poses[:, :2, 2], gt_rel[: len(poses), :2, 2])
+    assert ate < 0.25, f"2D scan-to-map ATE {ate}"
