@@ -267,6 +267,16 @@ def run_slam(
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+            # grid rebuilt from the (possibly loop-corrected) trajectory
+            from tpu_icp_slam.mapping import occupancy2d
+
+            grid = slam.rebuild_grid(poses, pts, msk)
+            occupancy2d.render_png(
+                grid,
+                os.path.join(out_dir, "map.png"),
+                trajectory=poses[:, :2, 2],
+            )
+            report["map_png"] = os.path.join(out_dir, "map.png")
             with open(os.path.join(out_dir, "report.json"), "w") as fh:
                 json.dump(report, fh, indent=2)
         metrics_log.log(

@@ -144,3 +144,34 @@ class Slam2D:
             rel = np.linalg.inv(kf_poses2[a]) @ poses[f]
             out[f] = kf_opt2[a] @ rel
         return out, report
+
+    def rebuild_grid(self, poses: np.ndarray, pts: np.ndarray, msk: np.ndarray):
+        """Re-raster the occupancy grid from (corrected) poses — the artifact
+        stays consistent with the optimized trajectory (one fused scan)."""
+        import jax
+        import jax.numpy as jnp
+
+        from tpu_icp_slam.mapping import occupancy2d
+
+        m = self.cfg.mapping
+
+        def build(poses_j, pts_j, msk_j):
+            grid = occupancy2d.create(m.grid_size, m.grid_resolution)
+
+            def body(g, frame):
+                pose, p, mk = frame
+                g = occupancy2d.update(
+                    g, pose, p, mk,
+                    hit=m.logodds_hit, free=m.logodds_free,
+                    clip=m.logodds_clip, ray_samples=m.ray_samples,
+                )
+                return g, None
+
+            grid, _ = jax.lax.scan(body, grid, (poses_j, pts_j, msk_j))
+            return grid
+
+        return jax.jit(build)(
+            jnp.asarray(poses, jnp.float32),
+            jnp.asarray(pts, jnp.float32),
+            jnp.asarray(msk),
+        )
