@@ -112,22 +112,33 @@ def main() -> int:
     cpu_fps = bench_cpu_golden(scans)
     import jax
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{MODE}_frames_per_s_per_chip_sim3d",
-                "value": round(fps, 3),
-                "unit": "frames/s",
-                "vs_baseline": round(fps / cpu_fps, 3),
-                "baseline": "golden fp64 CPU ICP (scipy cKDTree), same scans",
-                "baseline_fps": round(cpu_fps, 3),
-                "frames": FRAMES,
-                "points_per_scan": CAPACITY,
-                "compile_s": round(compile_s, 1),
-                "platform": jax.default_backend(),
-            }
-        )
-    )
+    report = {
+        "metric": f"{MODE}_frames_per_s_per_chip_sim3d",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / cpu_fps, 3),
+        "baseline": "golden fp64 CPU ICP (scipy cKDTree), same scans",
+        "baseline_fps": round(cpu_fps, 3),
+        "frames": FRAMES,
+        "points_per_scan": CAPACITY,
+        "compile_s": round(compile_s, 1),
+        "platform": jax.default_backend(),
+    }
+    # perf-regression band (SURVEY.md §4b): bench_band.json holds the last
+    # accepted range; flag (don't fail) when outside — the shared tunnel
+    # hardware has ±30% run-to-run variance, so a band, not a point
+    band_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench_band.json")
+    if os.path.exists(band_file):
+        try:
+            with open(band_file) as fh:
+                band = json.load(fh).get(report["metric"])
+            if band:
+                report["band"] = band
+                report["within_band"] = bool(band[0] <= fps <= band[1])
+        except Exception:
+            pass
+    print(json.dumps(report))
     return 0
 
 

@@ -18,7 +18,8 @@ print('end-start', round(la.norm(gt_rel[-1][:3,3]-gt_rel[0][:3,3]),2),
       'mean step', step.mean().round(2), 'max', step.max().round(2), flush=True)
 cfg = SlamConfig(
     icp=ICPConfig(method='point_to_plane', max_iters=25, max_corr_dist=2.5, nn_backend='xla',
-                  damping=1e-3, max_step_trans=1.0, max_step_rot=0.3, min_inliers=50, huber_delta=0.5, tol=1e-5),
+                  damping=1e-3, max_step_trans=1.0, max_step_rot=0.3, min_inliers=50,
+                  huber_delta=0.5, tol=1e-5, step_scale=1.4, tol_update=0.005),
     mapping=MappingConfig(map_capacity=65536, local_model_size=6144, map_voxel=0.35),
     pipeline=PipelineConfig(mode='scan_to_map', scan_capacity=2048, keyframe_trans=1.5, keyframe_rot=0.12),
     backend=BackendConfig(enabled=True, min_loop_separation=15, verify_max_rmse=0.6, candidate_topk=2, gating_radius=10.0),
