@@ -114,6 +114,8 @@ def build_parser() -> argparse.ArgumentParser:
     e = sub.add_parser("eval", help="trajectory accuracy evaluation")
     e.add_argument("--dataset", default="sim2d")
     e.add_argument("--frames", type=int, default=60)
+    e.add_argument("--config", default=None, help="JSON config file")
+    e.add_argument("overrides", nargs="*", help="dotted config overrides k=v")
     e.set_defaults(fn=cmd_eval)
     return p
 
