@@ -29,6 +29,8 @@ class ICPConfig:
     damping: float = 1e-6  # Levenberg damping for the 6x6 GN solve
     step_scale: float = 1.0  # >1: over-relax each ICP update (Besl-McKay-style
     # extrapolation; plain ICP undershoots because correspondences lag)
+    anderson: bool = False  # AA(1) acceleration of the fixed-point iteration
+    # (safeguarded; see AA-ICP, PAPERS.md)
     max_step_trans: float = 0.0  # >0: clamp per-iteration GN translation (m)
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged

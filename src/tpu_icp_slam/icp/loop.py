@@ -109,9 +109,14 @@ def align_with_correspondence(
     src_mask_f = src.mask.astype(dtype)
     # Huber weights operate on distances; delta<=0 disables
     huber = cfg.huber_delta
+    if d == 3:
+        from tpu_icp_slam.core import se3 as _lie
+    else:
+        from tpu_icp_slam.core import se2 as _lie
+    k_twist = 6 if d == 3 else 3
 
     def body(state):
-        T, prev_rmse, _, it, _, _ = state
+        T, prev_rmse, _, it, _, _, f_prev, g_prev = state
         cur = src.points @ T[:d, :d].T + T[:d, d]
         q, n, gate, d2 = corr_fn(cur)
         w = gate * src_mask_f
@@ -143,19 +148,39 @@ def align_with_correspondence(
         if cfg.step_scale != 1.0:
             # over-relaxation: scale the update twist — correspondence-lagged
             # ICP steps undershoot, so β ∈ (1, 2) cuts iteration counts
-            if d == 3:
-                from tpu_icp_slam.core import se3 as _se3
-
-                dT = _se3.exp(cfg.step_scale * _se3.log(dT))
-            else:
-                from tpu_icp_slam.core import se2 as _se2
-
-                dT = _se2.exp(cfg.step_scale * _se2.log(dT))
+            dT = _lie.exp(cfg.step_scale * _lie.log(dT))
         # degenerate-correspondence guard: with too few inliers the solve is
         # meaningless — hold the pose (the motion-model init survives)
         min_inl = max(cfg.min_inliers, d + 1)
         dT = jnp.where(n_inl >= min_inl, dT, jnp.eye(d + 1, dtype=dtype))
-        T_new = dT @ T
+        T_plain = dT @ T
+
+        if cfg.anderson:
+            # AA(1) on the fixed-point map T ↦ dT·T, in twist coordinates:
+            #   x = log(T), g = log(dT·T), f = g − x
+            #   x⁺ = g − γ (g − g_prev),  γ = fᵀ(f − f_prev)/‖f − f_prev‖²
+            # Safeguarded: clamp γ and fall back to the plain step when the
+            # residual grew (AA-ICP, Pavlov et al. 2017 — PAPERS.md).
+            x = _lie.log(T)
+            g = _lie.log(T_plain)
+            f = g - x
+            df = f - f_prev
+            denom = jnp.sum(df * df)
+            gamma = jnp.where(
+                denom > 1e-20, jnp.sum(f * df) / jnp.maximum(denom, 1e-20), 0.0
+            )
+            gamma = jnp.clip(gamma, -1.0, 1.0)
+            x_aa = g - gamma * (g - g_prev)
+            # safeguard: first iteration (f_prev = +big) or growing residual
+            use_aa = jnp.logical_and(
+                it > 0, jnp.linalg.norm(f) <= jnp.linalg.norm(f_prev)
+            )
+            T_new = jnp.where(use_aa, _lie.exp(x_aa), T_plain)
+            f_next, g_next = f, g
+        else:
+            T_new = T_plain
+            f_next, g_next = f_prev, g_prev
+
         wsum = jnp.maximum(jnp.sum(w), 1e-12)
         rmse = jnp.sqrt(jnp.sum(w * d2) / wsum)
         converged = jnp.abs(prev_rmse - rmse) < cfg.tol
@@ -164,10 +189,11 @@ def align_with_correspondence(
                 dT[:d, :d] - jnp.eye(d, dtype=dtype)
             )
             converged = jnp.logical_or(converged, step_mag < cfg.tol_update)
-        return (T_new, rmse, rmse, it + 1, n_inl, converged)
+        return (T_new, rmse, rmse, it + 1, n_inl, converged, f_next, g_next)
 
     def cond(state):
-        _, _, _, it, _, converged = state
+        it = state[3]
+        converged = state[5]
         return jnp.logical_and(it < cfg.max_iters, jnp.logical_not(converged))
 
     init = (
@@ -177,6 +203,8 @@ def align_with_correspondence(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
         jnp.asarray(False),
+        jnp.full((k_twist,), 1e6, dtype),  # f_prev sentinel (first iter)
+        jnp.zeros((k_twist,), dtype),
     )
-    T, rmse, _, iters, n_inl, converged = lax.while_loop(cond, body, init)
+    T, rmse, _, iters, n_inl, converged, _, _ = lax.while_loop(cond, body, init)
     return ICPResult(T=T, rmse=rmse, iters=iters, n_inliers=n_inl, converged=converged)

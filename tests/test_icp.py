@@ -170,3 +170,27 @@ def test_align_jit_cache_stable():
     n0 = align._cache_size()
     align(b, a, cfg=cfg)
     assert align._cache_size() == n0
+
+
+def test_align_anderson_acceleration():
+    """AA(1) (safeguarded) converges to the same transform as plain ICP."""
+    import dataclasses as dc
+
+    from tpu_icp_slam.config import ICPConfig
+    from tpu_icp_slam.core import pointcloud as pc
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.icp import loop as icp_loop
+
+    src, dst, T_gt = synthetic.two_scan_pair(
+        n=1000, seed=11, rot_scale=0.15, trans_scale=0.3
+    )
+    cs = pc.make(src, capacity=1024)
+    cd = pc.make(dst, capacity=1024)
+    plain = icp_loop.align(cs, cd, cfg=ICPConfig(max_iters=50, nn_backend="xla"))
+    aa = icp_loop.align(
+        cs, cd, cfg=ICPConfig(max_iters=50, nn_backend="xla", anderson=True)
+    )
+    err_plain = float(np.abs(np.asarray(plain.T) - T_gt).max())
+    err_aa = float(np.abs(np.asarray(aa.T) - T_gt).max())
+    assert err_aa < 1e-3, err_aa
+    assert int(aa.iters) <= int(plain.iters) + 2

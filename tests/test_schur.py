@@ -56,14 +56,14 @@ def test_schur_matches_dense(mesh):
 
 
 def test_schur_with_padding(mesh):
-    init, gt, factors = _chain_with_loop(n=12, drift=0.02)
-    g = pg.from_arrays(init, factors, max_keyframes=32, max_factors=64,
+    init, gt, factors = _chain_with_loop(n=8, drift=0.02)
+    g = pg.from_arrays(init, factors, max_keyframes=12, max_factors=16,
                        dtype=jnp.float64)
-    dense_opt, _ = pg.optimize(g, iters=5, damping=1e-9)
-    dist_opt, _ = schur.optimize_distributed(g, mesh, iters=5, damping=1e-9)
+    dense_opt, _ = pg.optimize(g, iters=3, damping=1e-9)
+    dist_opt, _ = schur.optimize_distributed(g, mesh, iters=3, damping=1e-9)
     np.testing.assert_allclose(
-        np.asarray(dist_opt.poses)[:12],
-        np.asarray(dense_opt.poses)[:12],
+        np.asarray(dist_opt.poses)[:8],
+        np.asarray(dense_opt.poses)[:8],
         rtol=1e-7,
         atol=1e-8,
     )
