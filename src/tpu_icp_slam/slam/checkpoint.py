@@ -19,17 +19,24 @@ def _kind_of(state) -> str:
     return "scan_to_map" if isinstance(state, MapOdomState) else "odom"
 
 
-def save_checkpoint(path: str, state, next_frame: int, poses: list) -> None:
+def save_checkpoint(path: str, state, next_frame: int, poses: list,
+                    cfg=None) -> None:
     import jax
 
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrs = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    extra = {}
+    if cfg is not None:
+        from tpu_icp_slam.config import config_hash
+
+        extra["config_hash"] = config_hash(cfg)
     np.savez(
         path,
         kind=_kind_of(state),
         next_frame=next_frame,
         poses=np.stack([np.asarray(p) for p in poses]),
         n_leaves=len(leaves),
+        **extra,
         **arrs,
     )
 
@@ -45,6 +52,17 @@ def load_checkpoint(path: str, cfg):
     n = int(data["n_leaves"])
     leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
     kind = str(data["kind"]) if "kind" in data else "odom"
+    if cfg is not None and "config_hash" in data:
+        from tpu_icp_slam.config import config_hash
+
+        if str(data["config_hash"]) != config_hash(cfg):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "checkpoint %s was written under a different config "
+                "(hash %s != %s) — resuming anyway",
+                path, data["config_hash"], config_hash(cfg),
+            )
 
     if kind == "scan_to_map":
         from tpu_icp_slam.mapping.voxel_map import VoxelMap

@@ -344,7 +344,7 @@ def run_slam(
                 if checkpoint_every and out_dir and i % checkpoint_every == 0:
                     from tpu_icp_slam.slam.checkpoint import save_checkpoint
 
-                    save_checkpoint(ckpt_path, state, i + 1, poses)
+                    save_checkpoint(ckpt_path, state, i + 1, poses, cfg=cfg)
                     metrics_log.log("checkpoint", frame=i + 1)
 
     poses = np.stack(poses)
