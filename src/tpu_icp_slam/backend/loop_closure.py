@@ -269,3 +269,58 @@ class LoopDetector:
             rmse=float(rmses[best]),
             n_inliers=int(inls[best]),
         )
+
+    def relocalize(
+        self,
+        query_points,
+        query_mask,
+        kf_scans,
+        kf_poses,
+        topk: int = 3,
+    ):
+        """Global relocalization: place a scan in the existing keyframe map.
+
+        No odometry prior exists (kidnapped-robot case), so no separation or
+        position gating — pure descriptor ranking over ALL keyframes, then
+        multi-yaw geometric verification of the top candidates. Returns
+        (pose (4,4) or (3,3), match_idx, rmse) or None. A capability the
+        reference never had (its only state was the live run).
+        """
+        if not self._descs:
+            return None
+        d = scan_context(
+            jnp.asarray(query_points, jnp.float32),
+            jnp.asarray(query_mask),
+            rings=self.cfg.descriptor_rings,
+            sectors=self.cfg.descriptor_sectors,
+            max_range=self.max_range,
+        )
+        descs = jnp.asarray(np.stack(self._descs))
+        scores, shifts = shift_match_scores(d, descs)
+        scores = np.asarray(scores)
+        shifts = np.asarray(shifts)
+        n_q = len(self._descs)
+        # verify() reads descriptors by index: stage the query at the end
+        self._descs.append(np.asarray(d))
+        self._positions.append(None)
+        try:
+            for m in np.argsort(-scores)[:topk]:
+                yaw = shifts[m] * 2 * np.pi / self.cfg.descriptor_sectors
+                if yaw > np.pi:
+                    yaw -= 2 * np.pi
+                cand = LoopCandidate(
+                    query_idx=n_q, match_idx=int(m),
+                    score=float(scores[m]), yaw=float(yaw),
+                )
+                lc = self.verify(
+                    cand,
+                    query_points, query_mask,
+                    kf_scans[m][0], kf_scans[m][1],
+                )
+                if lc is not None:
+                    pose = np.asarray(kf_poses[m]) @ lc.T_ij
+                    return pose, int(m), lc.rmse
+        finally:
+            self._descs.pop()
+            self._positions.pop()
+        return None

@@ -85,3 +85,35 @@ def test_detector_finds_revisit_and_verifies():
     T_gt = np.linalg.inv(gt[best.match_idx]) @ gt[q]
     t_err = np.linalg.norm(lc.T_ij[:3, 3] - T_gt[:3, 3])
     assert t_err < 0.5, f"loop transform off by {t_err} m"
+
+
+def test_relocalize_in_keyframe_map():
+    """Kidnapped-robot: place a scan in the map with no prior."""
+    scans, gt = synthetic.velodyne_log(
+        n_frames=20, n_rings=12, n_azimuth=256, path_fraction=0.5
+    )
+    cfg = BackendConfig(verify_max_rmse=0.6, verify_max_dev=0.0)
+    det = LoopDetector(cfg)
+    cap = 1536
+    store = []
+    poses = []
+    for i in range(0, 20, 2):  # keyframes: every other frame
+        s = voxel_downsample_np(scans[i], 0.5)[:cap]
+        pts = np.full((cap, 3), 1.0e6, np.float32)
+        msk = np.zeros(cap, bool)
+        pts[: len(s)] = s
+        msk[: len(s)] = True
+        det.add_keyframe(pts, msk, position=gt[i][:3, 3])
+        store.append((pts, msk))
+        poses.append(gt[i])
+    # query: a non-keyframe scan (frame 7), pose unknown to the system
+    q = voxel_downsample_np(scans[7], 0.5)[:cap]
+    qp = np.full((cap, 3), 1.0e6, np.float32)
+    qm = np.zeros(cap, bool)
+    qp[: len(q)] = q
+    qm[: len(q)] = True
+    out = det.relocalize(qp, qm, store, poses)
+    assert out is not None, "relocalization failed on an in-map scan"
+    pose, match_idx, rmse = out
+    t_err = np.linalg.norm(pose[:3, 3] - gt[7][:3, 3])
+    assert t_err < 1.0, f"relocalized {t_err} m off"
