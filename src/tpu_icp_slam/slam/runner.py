@@ -99,14 +99,23 @@ def load_dataset(spec: str, frames: int, seed: int = 0) -> LoadedDataset:
 
 
 def pad_scans(scans: list, capacity: int):
-    """list of (N_i, D) -> (F, C, D) points + (F, C) masks (sentinel padded)."""
+    """list of (N_i, D) -> (F, C, D) points + (F, C) masks (sentinel padded).
+
+    Oversized scans are subsampled UNIFORMLY, never truncated: scan points
+    arrive ordered (by elevation ring for Velodyne, by azimuth for 2D), so
+    truncation silently deletes whole regions of the field of view —
+    measured to break tracking through narrow passages (BASELINE.md).
+    """
     f = len(scans)
     d = scans[0].shape[1]
     pts = np.full((f, capacity, d), PAD_COORD, np.float32)
     msk = np.zeros((f, capacity), bool)
     for i, s in enumerate(scans):
-        n = min(len(s), capacity)
-        pts[i, :n] = s[:n]
+        if len(s) > capacity:
+            sel = np.linspace(0, len(s) - 1, capacity).astype(np.int64)
+            s = s[sel]
+        n = len(s)
+        pts[i, :n] = s
         msk[i, :n] = True
     return pts, msk
 
