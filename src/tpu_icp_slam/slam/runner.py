@@ -172,6 +172,50 @@ def run_rgbd(
     return poses, report
 
 
+
+def _make_report(poses, data, cfg, mode: str, timer, extra: dict | None = None):
+    """Shared report assembly: identity, timers, and GT accuracy metrics."""
+    report = {
+        "frames": len(poses),
+        "dataset": data.name,
+        "config_hash": config_hash(cfg),
+        "mode": mode,
+        **(extra or {}),
+        "timers": timer.summary(),
+    }
+    if data.gt_poses is not None:
+        from tpu_icp_slam.eval import metrics as em
+
+        gt = data.gt_poses[: len(poses)]
+        d = data.dim
+        report["ate_rmse"] = em.ate_rmse(poses[:, :d, d], gt[:, :d, d])
+        t_rpe, r_rpe = em.rpe(poses, gt)
+        report["rpe_trans"] = t_rpe
+        report["rpe_rot"] = r_rpe
+    return report
+
+
+def _write_artifacts(out_dir, poses, report, render_map=None):
+    """trajectory.npz + optional map render + report.json under out_dir."""
+    if not out_dir:
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+    if render_map is not None:
+        png = os.path.join(out_dir, "map.png")
+        render_map(png)
+        report["map_png"] = png
+    with open(os.path.join(out_dir, "report.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+
+
+def _finish(metrics_log, report):
+    metrics_log.log(
+        "done", **{k: v for k, v in report.items() if not isinstance(v, dict)}
+    )
+    metrics_log.close()
+
+
 def run_slam(
     cfg: SlamConfig,
     data: LoadedDataset,
@@ -209,42 +253,20 @@ def run_slam(
             slam = Slam3D(cfg)
             with timer.span("slam3d"):
                 poses, srep = slam.run(pts, msk)
-            report = {
-                "frames": len(poses),
-                "dataset": data.name,
-                "config_hash": config_hash(cfg),
-                "mode": "slam3d",
+            report = _make_report(poses, data, cfg, "slam3d", timer, extra={
                 "n_keyframes": srep.n_keyframes,
                 "n_loop_candidates": srep.n_loop_candidates,
                 "n_loop_closures": srep.n_loop_closures,
-                "timers": timer.summary(),
-            }
-            if data.gt_poses is not None:
-                from tpu_icp_slam.eval import metrics as em
+            })
+            render = None
+            if slam.final_state is not None:
+                from tpu_icp_slam.mapping import voxel_map as vmr
 
-                gt = data.gt_poses[: len(poses)]
-                report["ate_rmse"] = em.ate_rmse(poses[:, :3, 3], gt[:, :3, 3])
-                t_rpe, r_rpe = em.rpe(poses, gt)
-                report["rpe_trans"] = t_rpe
-                report["rpe_rot"] = r_rpe
-            if out_dir:
-                os.makedirs(out_dir, exist_ok=True)
-                np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
-                if slam.final_state is not None:
-                    from tpu_icp_slam.mapping import voxel_map as vmr
-
-                    vmr.render_png(
-                        slam.final_state.vmap,
-                        os.path.join(out_dir, "map.png"),
-                        trajectory=poses[:, :3, 3],
-                    )
-                    report["map_png"] = os.path.join(out_dir, "map.png")
-                with open(os.path.join(out_dir, "report.json"), "w") as fh:
-                    json.dump(report, fh, indent=2)
-            metrics_log.log(
-                "done", **{k: v for k, v in report.items() if not isinstance(v, dict)}
-            )
-            metrics_log.close()
+                render = lambda png: vmr.render_png(
+                    slam.final_state.vmap, png, trajectory=poses[:, :3, 3]
+                )
+            _write_artifacts(out_dir, poses, report, render)
+            _finish(metrics_log, report)
             return poses, report
         from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
@@ -258,40 +280,21 @@ def run_slam(
         slam = Slam2D(cfg)
         with timer.span("slam2d"):
             poses, srep = slam.run(pts, msk)
-        report = {
-            "frames": len(poses),
-            "dataset": data.name,
-            "config_hash": config_hash(cfg),
-            "mode": "slam2d",
+        report = _make_report(poses, data, cfg, "slam2d", timer, extra={
             "n_keyframes": srep.n_keyframes,
             "n_loop_candidates": srep.n_loop_candidates,
             "n_loop_closures": srep.n_loop_closures,
-            "timers": timer.summary(),
-        }
-        if data.gt_poses is not None:
-            from tpu_icp_slam.eval import metrics as em
+        })
 
-            gt = data.gt_poses[: len(poses)]
-            report["ate_rmse"] = em.ate_rmse(poses[:, :2, 2], gt[:, :2, 2])
-        if out_dir:
-            os.makedirs(out_dir, exist_ok=True)
-            np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+        def render(png):
             # grid rebuilt from the (possibly loop-corrected) trajectory
             from tpu_icp_slam.mapping import occupancy2d
 
             grid = slam.rebuild_grid(poses, pts, msk)
-            occupancy2d.render_png(
-                grid,
-                os.path.join(out_dir, "map.png"),
-                trajectory=poses[:, :2, 2],
-            )
-            report["map_png"] = os.path.join(out_dir, "map.png")
-            with open(os.path.join(out_dir, "report.json"), "w") as fh:
-                json.dump(report, fh, indent=2)
-        metrics_log.log(
-            "done", **{k: v for k, v in report.items() if not isinstance(v, dict)}
-        )
-        metrics_log.close()
+            occupancy2d.render_png(grid, png, trajectory=poses[:, :2, 2])
+
+        _write_artifacts(out_dir, poses, report, render)
+        _finish(metrics_log, report)
         return poses, report
     else:
         pipe = OdometryPipeline(cfg, dim=data.dim)
@@ -357,47 +360,22 @@ def run_slam(
                     metrics_log.log("checkpoint", frame=i + 1)
 
     poses = np.stack(poses)
-    report = {
-        "frames": len(poses),
-        "dataset": data.name,
-        "config_hash": config_hash(cfg),
-        "mode": mode,
-        "timers": timer.summary(),
-    }
-    if data.gt_poses is not None:
-        from tpu_icp_slam.eval import metrics as em
+    report = _make_report(poses, data, cfg, mode, timer)
+    render = None
+    if getattr(state, "vmap", None) is not None:
+        from tpu_icp_slam.mapping import voxel_map as vmr
 
-        gt = data.gt_poses[: len(poses)]
-        d = data.dim
-        report["ate_rmse"] = em.ate_rmse(poses[:, :d, d], gt[:, :d, d])
-        t_rpe, r_rpe = em.rpe(poses, gt)
-        report["rpe_trans"] = t_rpe
-        report["rpe_rot"] = r_rpe
-    if out_dir:
-        os.makedirs(out_dir, exist_ok=True)
-        np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
-        if getattr(state, "vmap", None) is not None:
-            from tpu_icp_slam.mapping import voxel_map as vmr
+        render = lambda png: vmr.render_png(
+            state.vmap, png, trajectory=poses[:, :3, 3]
+        )
+    elif getattr(state, "grid", None) is not None:
+        from tpu_icp_slam.mapping import occupancy2d
 
-            vmr.render_png(
-                state.vmap,
-                os.path.join(out_dir, "map.png"),
-                trajectory=poses[:, :3, 3],
-            )
-            report["map_png"] = os.path.join(out_dir, "map.png")
-        if getattr(state, "grid", None) is not None:
-            from tpu_icp_slam.mapping import occupancy2d
-
-            occupancy2d.render_png(
-                state.grid,
-                os.path.join(out_dir, "map.png"),
-                trajectory=poses[:, :2, 2],
-            )
-            report["map_png"] = os.path.join(out_dir, "map.png")
-        with open(os.path.join(out_dir, "report.json"), "w") as fh:
-            json.dump(report, fh, indent=2)
-    metrics_log.log("done", **{k: v for k, v in report.items() if not isinstance(v, dict)})
-    metrics_log.close()
+        render = lambda png: occupancy2d.render_png(
+            state.grid, png, trajectory=poses[:, :2, 2]
+        )
+    _write_artifacts(out_dir, poses, report, render)
+    _finish(metrics_log, report)
     return poses, report
 
 
