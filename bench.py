@@ -107,6 +107,9 @@ def bench_cpu_golden(scans) -> float:
 
 
 def main() -> int:
+    from tpu_icp_slam.obs.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     scans = _load_scans()
     fps, compile_s = bench_tpu(scans)
     cpu_fps = bench_cpu_golden(scans)

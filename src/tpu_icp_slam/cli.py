@@ -121,6 +121,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from tpu_icp_slam.obs.compile_cache import enable as _enable_cache
+
+    _enable_cache()
     args = build_parser().parse_args(argv)
     if hasattr(args, "overrides"):
         args.override_dict = _parse_overrides(args.overrides)
