@@ -29,6 +29,15 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "src"))
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: the CPU-mesh shard_map/Schur tests compile
+# 10-60s programs — cache them across suite runs (keyed by backend+config,
+# so CPU test artifacts never collide with TPU ones)
+try:
+    from tpu_icp_slam.obs.compile_cache import enable as _enable_cache
+
+    _enable_cache()
+except Exception:
+    pass
 # x64 for the whole suite: fp64 oracles need it, and enabling it per-module
 # leaks into other modules anyway (global config). Library code pins explicit
 # f32 dtypes, so it must stay correct under x64 — which is itself a property
