@@ -279,6 +279,34 @@ def _street_clutter_segments(rng: np.random.Generator, n_boxes: int) -> np.ndarr
     return np.asarray(segs, dtype=np.float64)
 
 
+def _round_and_resample(
+    xy: np.ndarray, n_frames: int, step: float = 0.25, turn_radius: float = 3.0
+) -> np.ndarray:
+    """Densify a path by arc length, round corners over a fixed distance
+    window, resample to n_frames at constant speed."""
+    seg = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+    cum = np.concatenate([[0], np.cumsum(seg)])
+    if cum[-1] <= 0:
+        return np.repeat(xy[:1], n_frames, axis=0)
+    n_dense = max(int(cum[-1] / step), 2)
+    sd = np.linspace(0, cum[-1], n_dense)
+    dense = np.stack([np.interp(sd, cum, xy[:, i]) for i in range(2)], axis=1)
+    win = max(3, int(turn_radius / step)) | 1
+    kern = np.ones(win) / win
+    pad = win // 2
+    dense = np.stack(
+        [
+            np.convolve(np.pad(dense[:, i], pad, mode="edge"), kern, mode="valid")
+            for i in range(2)
+        ],
+        axis=1,
+    )
+    seg2 = np.linalg.norm(np.diff(dense, axis=0), axis=1)
+    cum2 = np.concatenate([[0], np.cumsum(seg2)])
+    s2 = np.linspace(0, cum2[-1], n_frames)
+    return np.stack([np.interp(s2, cum2, dense[:, i]) for i in range(2)], axis=1)
+
+
 def velodyne_log(
     n_frames: int = 20,
     seed: int = 0,
@@ -316,19 +344,12 @@ def velodyne_log(
     cum = np.concatenate([[0], np.cumsum(seg_lens)])
     s = np.linspace(0, cum[-1] * path_fraction, n_frames)
     xy = np.stack([np.interp(s, cum, waypoints[:, i]) for i in range(2)], axis=1)
-    # smooth the polyline corners: real vehicles turn over several frames —
-    # unsmoothed waypoint corners give 0.3-0.5 rad/frame yaw steps that no
-    # odometry (golden included) can track
-    win = max(3, n_frames // 8) | 1
-    kern = np.ones(win) / win
-    pad = win // 2
-    xy = np.stack(
-        [
-            np.convolve(np.pad(xy[:, i], pad, mode="edge"), kern, mode="valid")
-            for i in range(2)
-        ],
-        axis=1,
-    )
+    # corner rounding with a FIXED TURN RADIUS, independent of frame count:
+    # densify the polyline by arc length, smooth over a ~3 m distance window
+    # (a vehicle-plausible turn), then resample to n_frames at constant
+    # speed. Frame-count-sized windows either leave 0.5 rad/frame kinks
+    # (short logs) or collapse turn bulbs into cusps (long logs).
+    xy = _round_and_resample(xy, n_frames)
     heading = np.arctan2(*np.flip(np.gradient(xy, axis=0), axis=1).T)
 
     elev = np.linspace(-0.30, 0.08, n_rings)  # radians

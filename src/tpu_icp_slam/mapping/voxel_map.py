@@ -54,13 +54,17 @@ def _quantize(pts: jnp.ndarray, msk: jnp.ndarray, voxel: float):
 
 
 def insert(vm: VoxelMap, pts: jnp.ndarray, msk: jnp.ndarray, nrm: jnp.ndarray,
-           *, voxel: float) -> VoxelMap:
+           *, voxel: float, center: jnp.ndarray | None = None) -> VoxelMap:
     """Merge a world-frame scan into the map with voxel dedup.
 
     Existing map points win ties inside a voxel (stable sort, map first), so
-    the map doesn't drift with re-observation. On overflow the earliest
-    inserted points win (deterministic FIFO-keep); callers bound growth by
-    keyframing.
+    the map doesn't drift with re-observation. On overflow:
+    - with `center` (the current sensor position): SPATIAL eviction — the
+      `cap` points nearest the sensor survive (the local-map policy of
+      production lidar odometry). FIFO-keep is a trap: once the map fills,
+      new terrain would never enter it and the vehicle outruns its own map
+      (measured: tracking death exactly at capacity saturation).
+    - without `center`: earliest-inserted points win (deterministic).
     """
     cap = vm.capacity
     all_pts = jnp.concatenate([vm.points, pts], axis=0)
@@ -75,9 +79,14 @@ def insert(vm: VoxelMap, pts: jnp.ndarray, msk: jnp.ndarray, nrm: jnp.ndarray,
     same_as_prev = same_as_prev.at[0].set(False)
     keep = (~same_as_prev) & all_msk[order]
 
-    # compact keepers to the front, earliest-original-index first; `rank`
-    # holds positions into the voxel-sorted space (keepers first, then by age)
-    rank = jnp.lexsort((order, ~keep))
+    # compact keepers to the front; `rank` holds positions into the
+    # voxel-sorted space (keepers first, then by eviction priority)
+    if center is not None:
+        diff = all_pts[order] - center[None, :]
+        prio = jnp.sum(diff * diff, axis=-1)  # nearest-to-sensor survives
+    else:
+        prio = order.astype(all_pts.dtype)  # earliest-inserted survives
+    rank = jnp.lexsort((prio, ~keep))
     chosen = order[rank[:cap]]
     new_pts = all_pts[chosen]
     new_nrm = all_nrm[chosen]

@@ -153,7 +153,10 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         world_pts = points @ pose[:3, :3].T + pose[:3, 3]
         world_pts = jnp.where(mask[:, None], world_pts, 1.0e6)
         nrm = normals_knn(points, mask, k=p.normal_k) @ pose[:3, :3].T
-        return voxel_map.insert(vm, world_pts, mask, nrm, voxel=m.map_voxel)
+        # spatial eviction around the current pose (see voxel_map.insert)
+        return voxel_map.insert(
+            vm, world_pts, mask, nrm, voxel=m.map_voxel, center=pose[:3, 3]
+        )
 
     vm = jax.lax.cond(is_kf, do_insert, lambda v: v, state.vmap)
     new_state = MapOdomState(

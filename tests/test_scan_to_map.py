@@ -188,3 +188,18 @@ def test_run_kitti_dir_end_to_end(tmp_path):
     assert np.isfinite(out).all()
     assert "ate_rmse" in report
     assert (tmp_path / "out" / "map.png").exists()
+
+
+def test_voxel_insert_spatial_eviction():
+    """With a center, the nearest points survive overflow — not the oldest."""
+    vm = voxel_map.create(8)
+    far = jnp.asarray([[50.0 + i, 0.0, 0.0] for i in range(8)], jnp.float32)
+    near = jnp.asarray([[float(i), 0.0, 0.0] for i in range(8)], jnp.float32)
+    ones = jnp.ones(8, bool)
+    zn = jnp.zeros((8, 3), jnp.float32)
+    vm = voxel_map.insert(vm, far, ones, zn, voxel=0.4)  # fills capacity
+    center = jnp.asarray([0.0, 0.0, 0.0])
+    vm = voxel_map.insert(vm, near, ones, zn, voxel=0.4, center=center)
+    kept_x = np.sort(np.asarray(vm.points[vm.mask])[:, 0])
+    # all 8 near points (x 0..7) must have displaced the far ones (x 50..57)
+    np.testing.assert_allclose(kept_x, np.arange(8), atol=1e-6)
