@@ -221,7 +221,9 @@ def lidar2d_log(
         [np.interp(s, cum, waypoints[:, i]) for i in range(2)], axis=1
     )
     # smooth polyline corners (robots turn over several frames; raw corners
-    # give >0.5 rad/frame yaw steps no odometry can track)
+    # give >0.5 rad/frame yaw steps no odometry can track). The 2D world uses
+    # a frame-count window (legacy, validated thresholds); the 3D generator
+    # uses the fixed-radius _round_and_resample.
     win = max(3, n_frames // 16) | 1
     kern = np.ones(win) / win
     pad = win // 2
