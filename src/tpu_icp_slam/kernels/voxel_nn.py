@@ -46,8 +46,10 @@ class VoxelHashGrid:
 
 
 def _hash(q: jnp.ndarray, table_size: int) -> jnp.ndarray:
-    """(..., 3) int32 voxel coords -> (...) slot in [0, table_size)."""
-    h = q[..., 0] * _P1 ^ q[..., 1] * _P2 ^ q[..., 2] * _P3
+    """(..., D) int32 voxel coords (D = 2 or 3) -> (...) slot in [0, table_size)."""
+    h = q[..., 0] * _P1 ^ q[..., 1] * _P2
+    if q.shape[-1] >= 3:
+        h = h ^ q[..., 2] * _P3
     return (h & (table_size - 1)).astype(jnp.int32)
 
 
@@ -81,11 +83,12 @@ def build(
 def query(grid: VoxelHashGrid, src: jnp.ndarray, voxel: float):
     """(M, 3) queries -> (idx (M,) int32, d2 (M,)); d2=+inf if no candidate."""
     table_size, bucket = grid.table.shape
-    q = jnp.floor(src / voxel).astype(jnp.int32)  # (M, 3)
-    # 27 neighbor voxels
+    d = src.shape[1]
+    q = jnp.floor(src / voxel).astype(jnp.int32)  # (M, D)
+    # 27 (3D) / 9 (2D) neighbor voxels
     off = jnp.stack(
-        jnp.meshgrid(*([jnp.arange(-1, 2)] * 3), indexing="ij"), axis=-1
-    ).reshape(27, 3)
+        jnp.meshgrid(*([jnp.arange(-1, 2)] * d), indexing="ij"), axis=-1
+    ).reshape(3**d, d)
     slots = _hash(q[:, None, :] + off[None, :, :], table_size)  # (M, 27)
     cand = grid.table[slots].reshape(src.shape[0], -1)  # (M, 27·B)
     valid = cand >= 0

@@ -58,3 +58,18 @@ def test_voxel_backend_in_icp():
     res = icp_loop.align(cs, cd, cfg=cfg)
     err = np.abs(np.asarray(res.T) - T_gt).max()
     assert err < 5e-3, err
+
+
+def test_voxel_nn_2d():
+    rng = np.random.default_rng(5)
+    dst = rng.uniform(-8, 8, (800, 2))
+    src = dst[rng.integers(0, 800, 300)] + 0.1 * rng.standard_normal((300, 2))
+    cl = pc.make(dst, capacity=1024, dtype=jnp.float32)
+    grid = voxel_nn.build(cl.points, cl.mask, voxel=0.8, bucket=32)
+    idx_v, d2_v = voxel_nn.query(grid, jnp.asarray(src, jnp.float32), voxel=0.8)
+    idx_b, d2_b = nn_bruteforce_xla(jnp.asarray(src, jnp.float32), cl.points)
+    in_gate = np.asarray(d2_b) <= 0.8 * 0.8
+    agree = (np.asarray(idx_v) == np.asarray(idx_b)) | np.isclose(
+        np.asarray(d2_v), np.asarray(d2_b), rtol=1e-5, atol=1e-7
+    )
+    assert agree[in_gate].mean() > 0.99
