@@ -12,6 +12,7 @@ never NCCL/MPI.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import numpy as np
@@ -55,15 +56,43 @@ def make_mesh(
 def multihost_init(coordinator: Optional[str] = None) -> None:
     """Multi-host bootstrap: `jax.distributed.initialize` (config 5).
 
-    No-op when single-process (the common sandbox case). On a real pod each
-    host calls this before any jax op; coordinator defaults from env
-    (JAX_COORDINATOR_ADDRESS et al.).
+    Must run BEFORE any jax op touches a backend (initialize raises after
+    backend init — and `jax.process_count()` itself initializes backends, so
+    we probe `jax.distributed.is_initialized()` instead). On a real pod each
+    host calls this first; coordinator defaults from env
+    (JAX_COORDINATOR_ADDRESS / TPU metadata auto-detection).
+
+    Failure policy: an *explicitly requested* coordinator that fails to
+    connect raises — a misconfigured pod must not silently degrade to
+    single-process (that bug class costs hours on real hardware). With no
+    coordinator argument and no env configuration this is a no-op (the
+    single-process sandbox case), logged at debug level.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    import logging
+
+    log = logging.getLogger(__name__)
+    dist_state = getattr(jax.distributed, "global_state", None)
+    already = (
+        jax.distributed.is_initialized()
+        if hasattr(jax.distributed, "is_initialized")
+        else (dist_state is not None and dist_state.client is not None)
+    )
+    if already:
+        log.debug("jax.distributed already initialized; multihost_init no-op")
+        return
+    env_configured = any(
+        os.environ.get(k)
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    )
+    if coordinator is None and not env_configured:
+        log.debug("no coordinator configured; staying single-process")
+        return
     try:
         if coordinator is not None:
             jax.distributed.initialize(coordinator_address=coordinator)
-        # else: rely on env auto-detection only when explicitly configured
-    except Exception:
-        pass
+        else:
+            jax.distributed.initialize()  # env / platform auto-detection
+    except Exception as exc:
+        # explicit request → hard failure; silent degradation is the trap
+        log.error("jax.distributed.initialize failed: %s", exc)
+        raise

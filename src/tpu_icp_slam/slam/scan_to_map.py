@@ -6,7 +6,9 @@ slowly because the map is the fusion of all keyframes. One jitted step per
 frame (streaming) or one `lax.scan` over the whole log (fused):
 
   extract local model (top_k near predicted pose)
-    → ICP align scan→model in WORLD frame (pose = result directly)
+    → ICP align scan→model in the PREDICTED SENSOR frame (the local model is
+      moved into the sensor frame first; world coords wreck f32 conditioning
+      — see the comment at the align site), pose = prediction ∘ correction
     → keyframe gate (translation/rotation since last keyframe)
     → lax.cond: voxel-dedup insert of the world-frame scan (+ normals)
 
