@@ -81,6 +81,35 @@ def shift_score_matrix(query: jnp.ndarray, descs: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(cos, axis=-1) / n_both  # (K, S)
 
 
+@partial(jax.jit, static_argnames=("topk",))
+def _gated_candidate_scores(
+    query: jnp.ndarray,  # (R, S)
+    descs: jnp.ndarray,  # (cap, R, S) device keyframe store (masked by lo)
+    positions: jnp.ndarray,  # (cap, 3); NaN rows = unknown position
+    qpos: jnp.ndarray,  # (3,); NaN = no odometry estimate
+    lo: jnp.ndarray,  # () int32: only keyframes [0, lo) are eligible
+    gating_radius: jnp.ndarray,  # () f32; inf disables the gate
+    topk: int,
+):
+    """One-dispatch candidate search over the whole keyframe store.
+
+    Runs the shift-invariant scoring against the full fixed-capacity buffer
+    (static shapes — no per-keyframe recompiles), applies the age and
+    odometry-position gates on device, and returns the top-k
+    (scores, shifts, indices) — only 3·topk scalars cross to the host.
+    NaN positions (unknown) pass the gate, matching the host semantics:
+    gating needs BOTH positions known.
+    """
+    scores, shifts = shift_match_scores(query, descs)  # (cap,), (cap,)
+    cap = descs.shape[0]
+    valid = jnp.arange(cap) < lo
+    dist = jnp.linalg.norm(positions - qpos[None, :], axis=-1)
+    gate = jnp.where(jnp.isnan(dist), True, dist <= gating_radius)
+    scores = jnp.where(valid & gate, scores, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(scores, topk)
+    return top_s, shifts[top_i], top_i
+
+
 @jax.jit
 def shift_match_scores(query: jnp.ndarray, descs: jnp.ndarray):
     """Yaw-invariant similarity of `query` (R, S) against descs (K, R, S).
@@ -95,6 +124,55 @@ def shift_match_scores(query: jnp.ndarray, descs: jnp.ndarray):
     scores = shift_score_matrix(query, descs)  # (K, S)
     best_shift = jnp.argmax(scores, axis=-1)
     return jnp.max(scores, axis=-1), best_shift.astype(jnp.int32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg_coarse", "cfg_fine", "sectors", "dim"),
+)
+def _batched_verify(
+    query_points: jnp.ndarray,  # (M, D)
+    query_mask: jnp.ndarray,  # (M,)
+    match_points: jnp.ndarray,  # (C, N, D)
+    match_mask: jnp.ndarray,  # (C, N)
+    query_desc: jnp.ndarray,  # (R, S)
+    match_descs: jnp.ndarray,  # (C, R, S)
+    *,
+    cfg_coarse: ICPConfig,
+    cfg_fine: ICPConfig,
+    sectors: int,
+    dim: int,
+):
+    """(candidates × yaw-hypotheses) coarse-to-fine verification, one program.
+
+    Yaw hypotheses per candidate: the 4 best descriptor shifts (computed on
+    device from one shift_score_matrix call) + the 4 cardinal yaws — sparse
+    descriptors give an unreliable single shift, so ICP seeds from a basket
+    and the best-rmse lock wins. Returns an ICPResult pytree with leading
+    (C, 8).
+    """
+    rows = shift_score_matrix(query_desc, match_descs)  # (C, S)
+    _, top4 = jax.lax.top_k(rows, 4)  # (C, 4)
+    yaw4 = top4.astype(jnp.float32) * (2 * jnp.pi / sectors)
+    cardinals = jnp.asarray([0.0, jnp.pi / 2, jnp.pi, -jnp.pi / 2], jnp.float32)
+    yaws = jnp.concatenate(
+        [yaw4, jnp.broadcast_to(cardinals, (rows.shape[0], 4))], axis=1
+    )  # (C, 8)
+
+    def rotz(y):
+        c, s = jnp.cos(y), jnp.sin(y)
+        T = jnp.eye(dim + 1, dtype=jnp.float32)
+        return T.at[:2, :2].set(jnp.asarray([[c, -s], [s, c]]))
+
+    inits = jax.vmap(jax.vmap(rotz))(yaws)  # (C, 8, d+1, d+1)
+    src = PointCloud(points=query_points, mask=query_mask)
+
+    def one_candidate(dst_pts, dst_msk, T0s):
+        dst = PointCloud(points=dst_pts, mask=dst_msk)
+        coarse = jax.vmap(lambda t: align(src, dst, t, cfg_coarse))(T0s)
+        return jax.vmap(lambda t: align(src, dst, t, cfg_fine))(coarse.T)
+
+    return jax.vmap(one_candidate)(match_points, match_mask, inits)
 
 
 @dataclasses.dataclass
@@ -142,8 +220,48 @@ class LoopDetector:
             self.icp_coarse, max_corr_dist=1.5, huber_delta=0.5, max_iters=30
         )
         self.max_range = max_range
+        # host-side copies (serialization source for checkpoints) ...
         self._descs: list[np.ndarray] = []
         self._positions: list = []
+        # ... plus the device-resident keyframe store the hot path reads:
+        # descriptors and positions stay on device between keyframes, so a
+        # candidate search moves only top-k scalars over PCIe (VERDICT r1
+        # item 6 — host round-trips were the backend scaling cliff)
+        self._descs_dev: Optional[jnp.ndarray] = None  # (cap, R, S)
+        self._pos_dev: Optional[jnp.ndarray] = None  # (cap, 3)
+        self._n_dev: int = 0  # keyframes reflected in the device store
+
+    # -- device keyframe store ------------------------------------------------
+
+    def _ensure_capacity(self, n: int) -> None:
+        r, s = self.cfg.descriptor_rings, self.cfg.descriptor_sectors
+        if self._descs_dev is None:
+            cap = max(64, getattr(self.cfg, "max_keyframes", 512))
+            self._descs_dev = jnp.zeros((cap, r, s), jnp.float32)
+            self._pos_dev = jnp.full((cap, 3), jnp.nan, jnp.float32)
+        while self._descs_dev.shape[0] < n:  # double on overflow
+            self._descs_dev = jnp.concatenate(
+                [self._descs_dev, jnp.zeros_like(self._descs_dev)]
+            )
+            self._pos_dev = jnp.concatenate(
+                [self._pos_dev, jnp.full_like(self._pos_dev, jnp.nan)]
+            )
+
+    def _sync_device_store(self) -> None:
+        """Rebuild the device store from the host lists (checkpoint resume
+        writes the host lists directly)."""
+        self._descs_dev = None
+        self._ensure_capacity(len(self._descs) + 1)
+        if self._descs:
+            descs = jnp.asarray(np.stack(self._descs), jnp.float32)
+            self._descs_dev = self._descs_dev.at[: len(self._descs)].set(descs)
+            pos = np.full((len(self._positions), 3), np.nan, np.float32)
+            for i, p in enumerate(self._positions):
+                if p is not None:  # pad 2D positions with z=0 (xy gating)
+                    pos[i, : len(p)] = np.asarray(p, np.float32)
+                    pos[i, len(p):] = 0.0
+            self._pos_dev = self._pos_dev.at[: len(pos)].set(jnp.asarray(pos))
+        self._n_dev = len(self._descs)
 
     def add_keyframe(self, points, mask, position=None) -> int:
         d = scan_context(
@@ -153,46 +271,74 @@ class LoopDetector:
             sectors=self.cfg.descriptor_sectors,
             max_range=self.max_range,
         )
+        idx = len(self._descs)
+        if self._descs_dev is None or self._n_dev != idx:
+            self._sync_device_store()  # host lists were mutated externally
+        self._ensure_capacity(idx + 1)
+        self._descs_dev = self._descs_dev.at[idx].set(d)
+        self._n_dev = idx + 1
+        if position is not None:
+            p3 = np.full((3,), np.nan, np.float32)
+            p3[: len(position)] = np.asarray(position, np.float32)
+            # pad unknown z with 0 so 2D positions gate on xy distance
+            p3 = np.nan_to_num(p3, nan=0.0)
+            self._pos_dev = self._pos_dev.at[idx].set(jnp.asarray(p3))
         self._descs.append(np.asarray(d))
         self._positions.append(
             None if position is None else np.asarray(position, np.float64)
         )
-        return len(self._descs) - 1
+        return idx
 
     def candidates(self, query_idx: int) -> list[LoopCandidate]:
         """Descriptor matches against old-enough keyframes, gated by the
         odometry-estimate distance (cfg.gating_radius) when positions are
         known — the covariance gate that defeats perceptual aliasing in
-        self-similar worlds (SURVEY.md §2b N13)."""
+        self-similar worlds (SURVEY.md §2b N13). One device dispatch over the
+        fixed-capacity store; only the top-k triple lands on the host."""
         lo = query_idx - self.cfg.min_loop_separation
         if lo <= 0:
             return []
-        descs = jnp.asarray(np.stack(self._descs[:lo]))
-        scores, shifts = shift_match_scores(
-            jnp.asarray(self._descs[query_idx]), descs
+        if self._descs_dev is None or self._n_dev < len(self._descs):
+            # store out of sync (e.g. detector state restored by hand)
+            self._sync_device_store()
+        qpos_np = self._positions[query_idx]
+        qpos = jnp.asarray(
+            np.concatenate([
+                np.asarray(qpos_np, np.float32),
+                np.zeros(3 - len(qpos_np), np.float32),
+            ])
+            if qpos_np is not None
+            else np.full(3, np.nan, np.float32)
         )
-        scores = np.asarray(scores).astype(np.float64)
-        shifts = np.asarray(shifts)
-        qpos = self._positions[query_idx]
-        if qpos is not None and self.cfg.gating_radius > 0:
-            for m in range(lo):
-                mpos = self._positions[m]
-                if mpos is not None and (
-                    np.linalg.norm(mpos - qpos) > self.cfg.gating_radius
-                ):
-                    scores[m] = -np.inf
-        top = np.argsort(-scores)[: self.cfg.candidate_topk]
-        top = top[np.isfinite(scores[top])]
+        radius = (
+            jnp.float32(self.cfg.gating_radius)
+            if self.cfg.gating_radius > 0
+            else jnp.float32(jnp.inf)
+        )
+        top_s, top_shift, top_i = _gated_candidate_scores(
+            self._descs_dev[query_idx],
+            self._descs_dev,
+            self._pos_dev,
+            qpos,
+            jnp.asarray(lo, jnp.int32),
+            radius,
+            topk=self.cfg.candidate_topk,
+        )
+        top_s = np.asarray(top_s, np.float64)
+        top_shift = np.asarray(top_shift)
+        top_i = np.asarray(top_i)
         out = []
-        for m in top:
-            yaw = shifts[m] * 2 * np.pi / self.cfg.descriptor_sectors
+        for k in range(len(top_i)):
+            if not np.isfinite(top_s[k]):
+                continue
+            yaw = top_shift[k] * 2 * np.pi / self.cfg.descriptor_sectors
             if yaw > np.pi:
                 yaw -= 2 * np.pi
             out.append(
                 LoopCandidate(
                     query_idx=query_idx,
-                    match_idx=int(m),
-                    score=float(scores[m]),
+                    match_idx=int(top_i[k]),
+                    score=float(top_s[k]),
                     yaw=float(yaw),
                 )
             )
@@ -206,69 +352,103 @@ class LoopDetector:
         match_points,
         match_mask,
         T_pred=None,
+        query_desc=None,
     ) -> Optional[LoopClosure]:
-        """ICP the query scan onto the match scan; accept on tight residual.
+        """Single-candidate wrapper over verify_batch (see there)."""
+        out = self.verify_batch(
+            [cand],
+            query_points,
+            query_mask,
+            np.asarray(match_points)[None],
+            np.asarray(match_mask)[None],
+            T_preds=None if T_pred is None else np.asarray(T_pred)[None],
+            query_desc=query_desc,
+        )
+        return out[0]
 
-        T_pred (optional 4×4): odometry-predicted relative pose X_i⁻¹ X_j.
-        In self-similar worlds a *wrong* lock can have low rmse (structure
-        repeats every grid period); requiring the measurement to sit within
-        the drift bound of the prediction rejects those aliases while true
-        loops (drift ≪ gating_radius) pass.
+    def verify_batch(
+        self,
+        cands: list,
+        query_points,
+        query_mask,
+        match_points,  # (C, N, D) stacked candidate keyframe scans
+        match_mask,  # (C, N)
+        T_preds=None,  # (C, D+1, D+1) odometry-predicted X_i⁻¹ X_j, or None
+        query_desc=None,
+    ) -> list:
+        """Geometrically verify ALL candidates of a keyframe in one dispatch.
 
-        Returns T_ij with i = match (earlier), j = query (later): the relative
-        pose factor X_i⁻¹ X_j for the pose graph.
+        Coarse-to-fine ICP over a (candidates × yaw-hypotheses) grid — one
+        nested-vmap program instead of per-candidate host round-trips
+        (VERDICT r1 item 6: sequential verification was the scaling cliff for
+        KITTI-00-length logs). Per candidate the yaw hypotheses are the top
+        descriptor shifts plus the cardinal yaws; the best-rmse lock that
+        passes the gates wins.
+
+        Gates (per candidate): rmse ≤ verify_max_rmse, inliers ≥ 30% of the
+        query, and — when T_preds is given — the measured translation within
+        verify_max_dev of the odometry prediction. In self-similar worlds a
+        *wrong* lock can have low rmse (structure repeats every grid period);
+        the consistency gate rejects those aliases while true loops (drift ≪
+        gating_radius) pass.
+
+        query_desc: explicit (R, S) query descriptor; defaults to the stored
+        descriptor at cands[0].query_idx. relocalize passes it explicitly —
+        its query is not a stored keyframe, and staging a phantom entry in
+        the shared store would be non-reentrant.
+
+        Returns a list aligned with `cands`: LoopClosure (T_ij with
+        i = match (earlier), j = query (later)) or None per candidate.
         """
-        # multi-hypothesis yaw: sparse descriptors give an unreliable single
-        # shift, so seed the coarse ICP from the top descriptor shifts plus
-        # the cardinal yaws and keep the best-rmse lock (one vmapped align)
+        if not cands:
+            return []
         s_sec = self.cfg.descriptor_sectors
-        row = np.asarray(
-            shift_score_matrix(
-                jnp.asarray(self._descs[cand.query_idx]),
-                jnp.asarray(self._descs[cand.match_idx])[None],
-            )
-        )[0]
-        shifts = list(np.argsort(-row)[:4])
-        yaws = [sh * 2 * np.pi / s_sec for sh in shifts]
-        yaws += [0.0, np.pi / 2, np.pi, -np.pi / 2]
+        if query_desc is None:
+            query_desc = self._descs[cands[0].query_idx]
+        if self._descs_dev is None or self._n_dev < len(self._descs):
+            self._sync_device_store()
         d = int(np.asarray(query_points).shape[1])
-        inits = []
-        for y in yaws:
-            c, s = np.cos(y), np.sin(y)
-            T0 = np.eye(d + 1, dtype=np.float32)
-            T0[:2, :2] = [[c, -s], [s, c]]
-            inits.append(T0)
-        inits = jnp.asarray(np.stack(inits))
-        src = PointCloud(
-            points=jnp.asarray(query_points, jnp.float32),
-            mask=jnp.asarray(query_mask),
+        midx = jnp.asarray([c.match_idx for c in cands], jnp.int32)
+        fine = _batched_verify(
+            jnp.asarray(query_points, jnp.float32),
+            jnp.asarray(query_mask),
+            jnp.asarray(match_points, jnp.float32),
+            jnp.asarray(match_mask),
+            jnp.asarray(query_desc, jnp.float32),
+            self._descs_dev[midx],
+            cfg_coarse=self.icp_coarse,
+            cfg_fine=self.icp_fine,
+            sectors=s_sec,
+            dim=d,
         )
-        dst = PointCloud(
-            points=jnp.asarray(match_points, jnp.float32),
-            mask=jnp.asarray(match_mask),
-        )
-        coarse = jax.vmap(lambda T0: align(src, dst, T0, self.icp_coarse))(inits)
-        fine = jax.vmap(lambda T0: align(src, dst, T0, self.icp_fine))(coarse.T)
-        rmses = np.asarray(fine.rmse, np.float64)
-        inls = np.asarray(fine.n_inliers)
-        Ts = np.asarray(fine.T, np.float64)
+        rmses = np.asarray(fine.rmse, np.float64)  # (C, Y)
+        inls = np.asarray(fine.n_inliers)  # (C, Y)
+        Ts = np.asarray(fine.T, np.float64)  # (C, Y, d+1, d+1)
         n_valid = int(np.asarray(query_mask).sum())
-        ok = (rmses <= self.cfg.verify_max_rmse) & (inls >= 0.3 * max(n_valid, 1))
-        if T_pred is not None and self.cfg.verify_max_dev > 0:
+        ok = (rmses <= self.cfg.verify_max_rmse) & (
+            inls >= 0.3 * max(n_valid, 1)
+        )
+        if T_preds is not None and self.cfg.verify_max_dev > 0:
             t_dev = np.linalg.norm(
-                Ts[:, :d, d] - np.asarray(T_pred)[None, :d, d], axis=1
+                Ts[:, :, :d, d] - np.asarray(T_preds)[:, None, :d, d], axis=-1
             )
             ok &= t_dev <= self.cfg.verify_max_dev
-        if not ok.any():
-            return None
-        best = int(np.argmin(np.where(ok, rmses, np.inf)))
-        return LoopClosure(
-            i=cand.match_idx,
-            j=cand.query_idx,
-            T_ij=Ts[best],
-            rmse=float(rmses[best]),
-            n_inliers=int(inls[best]),
-        )
+        out = []
+        for c, cand in enumerate(cands):
+            if not ok[c].any():
+                out.append(None)
+                continue
+            best = int(np.argmin(np.where(ok[c], rmses[c], np.inf)))
+            out.append(
+                LoopClosure(
+                    i=cand.match_idx,
+                    j=cand.query_idx,
+                    T_ij=Ts[c, best],
+                    rmse=float(rmses[c, best]),
+                    n_inliers=int(inls[c, best]),
+                )
+            )
+        return out
 
     def relocalize(
         self,
@@ -299,28 +479,23 @@ class LoopDetector:
         scores, shifts = shift_match_scores(d, descs)
         scores = np.asarray(scores)
         shifts = np.asarray(shifts)
-        n_q = len(self._descs)
-        # verify() reads descriptors by index: stage the query at the end
-        self._descs.append(np.asarray(d))
-        self._positions.append(None)
-        try:
-            for m in np.argsort(-scores)[:topk]:
-                yaw = shifts[m] * 2 * np.pi / self.cfg.descriptor_sectors
-                if yaw > np.pi:
-                    yaw -= 2 * np.pi
-                cand = LoopCandidate(
-                    query_idx=n_q, match_idx=int(m),
-                    score=float(scores[m]), yaw=float(yaw),
-                )
-                lc = self.verify(
-                    cand,
-                    query_points, query_mask,
-                    kf_scans[m][0], kf_scans[m][1],
-                )
-                if lc is not None:
-                    pose = np.asarray(kf_poses[m]) @ lc.T_ij
-                    return pose, int(m), lc.rmse
-        finally:
-            self._descs.pop()
-            self._positions.pop()
+        n_q = len(self._descs)  # informational query index (not stored)
+        qd = np.asarray(d)
+        for m in np.argsort(-scores)[:topk]:
+            yaw = shifts[m] * 2 * np.pi / self.cfg.descriptor_sectors
+            if yaw > np.pi:
+                yaw -= 2 * np.pi
+            cand = LoopCandidate(
+                query_idx=n_q, match_idx=int(m),
+                score=float(scores[m]), yaw=float(yaw),
+            )
+            lc = self.verify(
+                cand,
+                query_points, query_mask,
+                kf_scans[m][0], kf_scans[m][1],
+                query_desc=qd,
+            )
+            if lc is not None:
+                pose = np.asarray(kf_poses[m]) @ lc.T_ij
+                return pose, int(m), lc.rmse
         return None

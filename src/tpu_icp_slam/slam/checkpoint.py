@@ -6,6 +6,16 @@ grid) or scan-to-map (pose, motion model, voxel map) — the frame index, and
 the trajectory-so-far are serialized to one .npz; `run --resume` continues a
 log mid-stream. This is also the failure-recovery story: restart from the
 last checkpoint.
+
+Two granularities:
+- `save_checkpoint`/`load_checkpoint`: odometry-only pipelines (front-end
+  pytree + trajectory).
+- `save_slam_checkpoint`/`load_slam_checkpoint`: the full backend-enabled
+  SLAM paths (Slam2D/Slam3D) — front-end pytree PLUS the backend state the
+  pose graph needs: keyframe frames/poses/descriptors/positions, per-frame
+  anchors, accepted loop closures, candidate counter. A config-4 run killed
+  mid-log resumes with its keyframe database and closures intact
+  (VERDICT r1 item 4).
 """
 
 from __future__ import annotations
@@ -64,6 +74,18 @@ def load_checkpoint(path: str, cfg):
                 path, data["config_hash"], config_hash(cfg),
             )
 
+    state = _unflatten_state(kind, leaves)
+    poses = [p for p in data["poses"]]
+    return state, int(data["next_frame"]), poses
+
+
+def _unflatten_state(kind: str, leaves: list):
+    """Rebuild a front-end state pytree from its leaves via a template with
+    the same structure (portable: no pickled treedefs)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(leaves)
     if kind == "scan_to_map":
         from tpu_icp_slam.mapping.voxel_map import VoxelMap
         from tpu_icp_slam.slam.scan_to_map import MapOdomState
@@ -105,6 +127,113 @@ def load_checkpoint(path: str, cfg):
             frame=jnp.asarray(0),
         )
     treedef = jax.tree_util.tree_structure(template)
-    state = jax.tree_util.tree_unflatten(treedef, leaves)
-    poses = [p for p in data["poses"]]
-    return state, int(data["next_frame"]), poses
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def save_slam_checkpoint(
+    path: str,
+    fe_kind: str,  # "scan_to_map" | "odom" — front-end template kind
+    fe_state,
+    next_frame: int,
+    poses: list,
+    kf_frames: list,
+    kf_poses: list,
+    anchor_kf: list,
+    descs: list,
+    positions: list,  # per-keyframe odometry position (d,) or None
+    closures: list,  # backend.loop_closure.LoopClosure
+    n_cands: int,
+    cfg=None,
+) -> None:
+    """Full backend-enabled SLAM state -> one .npz (atomic via tmp+rename)."""
+    import jax
+
+    leaves, _ = jax.tree_util.tree_flatten(fe_state)
+    arrs = {f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    if cfg is not None:
+        from tpu_icp_slam.config import config_hash
+
+        arrs["config_hash"] = config_hash(cfg)
+    d = np.asarray(poses[0]).shape[0] - 1
+    pos_arr = np.full((len(positions), d), np.nan)
+    for i, p in enumerate(positions):
+        if p is not None:
+            pos_arr[i, : len(p)] = p
+    tij = (
+        np.stack([np.asarray(c.T_ij) for c in closures])
+        if closures
+        else np.zeros((0, d + 1, d + 1))
+    )
+    tmp = path + ".tmp.npz"
+    np.savez(
+        tmp,
+        kind="slam_backend",
+        fe_kind=fe_kind,
+        next_frame=next_frame,
+        poses=np.stack([np.asarray(p) for p in poses]),
+        n_leaves=len(leaves),
+        kf_frames=np.asarray(kf_frames, np.int64),
+        kf_poses=np.stack([np.asarray(p) for p in kf_poses]),
+        anchor_kf=np.asarray(anchor_kf, np.int64),
+        descs=np.stack(descs) if descs else np.zeros((0, 1, 1)),
+        positions=pos_arr,
+        cl_i=np.asarray([c.i for c in closures], np.int64),
+        cl_j=np.asarray([c.j for c in closures], np.int64),
+        cl_T=tij,
+        cl_rmse=np.asarray([c.rmse for c in closures]),
+        cl_inl=np.asarray([c.n_inliers for c in closures], np.int64),
+        n_cands=n_cands,
+        **arrs,
+    )
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_slam_checkpoint(path: str, cfg=None) -> dict:
+    """Returns a dict mirroring save_slam_checkpoint's arguments."""
+    import jax.numpy as jnp
+
+    from tpu_icp_slam.backend.loop_closure import LoopClosure
+
+    data = np.load(path, allow_pickle=False)
+    assert str(data["kind"]) == "slam_backend", str(data["kind"])
+    if cfg is not None and "config_hash" in data:
+        from tpu_icp_slam.config import config_hash
+
+        if str(data["config_hash"]) != config_hash(cfg):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "slam checkpoint %s was written under a different config "
+                "(hash %s != %s) — resuming anyway",
+                path, data["config_hash"], config_hash(cfg),
+            )
+    n = int(data["n_leaves"])
+    leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    fe_kind = str(data["fe_kind"])
+    closures = [
+        LoopClosure(
+            i=int(data["cl_i"][k]),
+            j=int(data["cl_j"][k]),
+            T_ij=data["cl_T"][k],
+            rmse=float(data["cl_rmse"][k]),
+            n_inliers=int(data["cl_inl"][k]),
+        )
+        for k in range(len(data["cl_i"]))
+    ]
+    positions = [
+        None if np.isnan(row).any() else row for row in data["positions"]
+    ]
+    return {
+        "fe_state": _unflatten_state(fe_kind, leaves),
+        "next_frame": int(data["next_frame"]),
+        "poses": [p for p in data["poses"]],
+        "kf_frames": [int(f) for f in data["kf_frames"]],
+        "kf_poses": [p for p in data["kf_poses"]],
+        "anchor_kf": [int(a) for a in data["anchor_kf"]],
+        "descs": [d for d in data["descs"]],
+        "positions": positions,
+        "closures": closures,
+        "n_cands": int(data["n_cands"]),
+    }

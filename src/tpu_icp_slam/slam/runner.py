@@ -245,14 +245,23 @@ def run_slam(
             scans = [voxel_downsample_np(s, cfg.pipeline.downsample_voxel) for s in scans]
         pts, msk = pad_scans(scans, cap)
 
+    ckpt_path = os.path.join(out_dir, "checkpoint.npz") if out_dir else None
     if cfg.pipeline.mode == "scan_to_map" and data.dim == 3:
         if cfg.backend.enabled:
-            # full config-4 path: scan-to-map + loop closure + pose graph
+            # full config-4 path: scan-to-map + loop closure + pose graph.
+            # checkpoint/resume serializes the FULL slam state (front-end
+            # pytree + keyframe DB + closures) — see Slam3D.run
             from tpu_icp_slam.slam.slam3d import Slam3D
 
             slam = Slam3D(cfg)
             with timer.span("slam3d"):
-                poses, srep = slam.run(pts, msk)
+                poses, srep = slam.run(
+                    pts, msk,
+                    mode="streaming" if mode == "streaming" else "fused",
+                    checkpoint_path=ckpt_path,
+                    checkpoint_every=checkpoint_every,
+                    resume=resume,
+                )
             report = _make_report(poses, data, cfg, "slam3d", timer, extra={
                 "n_keyframes": srep.n_keyframes,
                 "n_loop_candidates": srep.n_loop_candidates,
@@ -279,7 +288,13 @@ def run_slam(
 
         slam = Slam2D(cfg)
         with timer.span("slam2d"):
-            poses, srep = slam.run(pts, msk)
+            poses, srep = slam.run(
+                pts, msk,
+                mode="streaming" if mode == "streaming" else "fused",
+                checkpoint_path=ckpt_path,
+                checkpoint_every=checkpoint_every,
+                resume=resume,
+            )
         report = _make_report(poses, data, cfg, "slam2d", timer, extra={
             "n_keyframes": srep.n_keyframes,
             "n_loop_candidates": srep.n_loop_candidates,
@@ -300,7 +315,6 @@ def run_slam(
         pipe = OdometryPipeline(cfg, dim=data.dim)
     start_idx = 1
     state = None
-    ckpt_path = os.path.join(out_dir, "checkpoint.npz") if out_dir else None
     if resume and ckpt_path and os.path.exists(ckpt_path):
         from tpu_icp_slam.slam.checkpoint import load_checkpoint
 

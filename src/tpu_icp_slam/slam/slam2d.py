@@ -11,6 +11,7 @@ projects back to SE(2)).
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -44,7 +45,15 @@ class Slam2D:
         self.pipe = OdometryPipeline(cfg, dim=2)
         self.detector = LoopDetector(cfg.backend, max_range=sensor_max_range)
 
-    def run(self, pts: np.ndarray, msk: np.ndarray):
+    def run(
+        self,
+        pts: np.ndarray,
+        msk: np.ndarray,
+        mode: str = "fused",
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ):
         """pts (F, C, 2), msk (F, C) -> (poses (F, 3, 3) SE(2), SlamReport).
 
         pipeline.mode == "scan_to_map" lifts the scans to z = 0 and runs the
@@ -53,59 +62,144 @@ class Slam2D:
         drift by orders of magnitude (measured 5.0 → 0.02 ATE on the loop
         log). The detector still sees the raw 2D scans (occupancy-count
         descriptors).
+
+        checkpoint_every > 0 / resume force a streaming front-end with the
+        full state (front-end pytree + keyframe DB + closures) checkpointed,
+        same contract as Slam3D.run (SURVEY.md §5; VERDICT r1 item 4).
         """
         cfg = self.cfg
         p = cfg.pipeline
-        if p.mode == "scan_to_map":
+        if checkpoint_every or resume:
+            mode = "streaming"
+        lifted = p.mode == "scan_to_map"
+        if lifted:
             from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
             pts3 = np.concatenate(
                 [pts, np.zeros_like(pts[..., :1])], axis=-1
             ).astype(np.float32)
             pipe3 = ScanToMapPipeline(cfg)
-            st = pipe3.init_state(pts3[0], msk[0])
-            st, infos = pipe3.run_fused(st, pts3[1:], msk[1:])
-            poses = np.concatenate(
-                [np.eye(3)[None]]
-                + [[_to2(T)] for T in np.asarray(infos["pose"], np.float64)]
-            )
-        else:
-            state = self.pipe.init_state(pts[0], msk[0], with_grid=False)
-            state, infos = self.pipe.run_fused(state, pts[1:], msk[1:])
-            all_poses = np.asarray(infos["pose"], np.float64)
-            poses = np.concatenate([np.eye(3)[None], all_poses])
 
-        # host-side keyframe selection (the 2D pipeline has no keyframe flag)
-        kf_frames = [0]
-        kf_poses2 = [np.eye(3)]
-        self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(2))
-        anchor_kf = [0]
+        # resume / fresh init of the backend + front-end state
+        start = 1
+        state = None
+        poses_l: list = []
+        kf_frames: list = []
+        kf_poses2: list = []
+        anchor_kf: list = []
         closures: list[LoopClosure] = []
         n_cands = 0
-        for f in range(1, len(pts)):
-            dK = np.linalg.inv(kf_poses2[-1]) @ poses[f]
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from tpu_icp_slam.slam.checkpoint import load_slam_checkpoint
+
+            ck = load_slam_checkpoint(checkpoint_path, cfg)
+            state = ck["fe_state"]
+            start = ck["next_frame"]
+            poses_l = ck["poses"]
+            kf_frames = ck["kf_frames"]
+            kf_poses2 = ck["kf_poses"]
+            anchor_kf = ck["anchor_kf"]
+            closures = ck["closures"]
+            n_cands = ck["n_cands"]
+            self.detector._descs = [np.asarray(d) for d in ck["descs"]]
+            self.detector._positions = ck["positions"]
+        if state is None:
+            if mode == "streaming":
+                state = (
+                    pipe3.init_state(pts3[0], msk[0])
+                    if lifted
+                    else self.pipe.init_state(pts[0], msk[0], with_grid=False)
+                )
+            poses_l = [np.eye(3)]
+            kf_frames = [0]
+            kf_poses2 = [np.eye(3)]
+            anchor_kf = [0]
+            self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(2))
+
+        def process_frame(f, pose2):
+            """Host-side keyframe gate + backend per frame (2D pipelines
+            carry no keyframe flag)."""
+            nonlocal n_cands
+            dK = np.linalg.inv(kf_poses2[-1]) @ pose2
             trans = np.linalg.norm(dK[:2, 2])
             rot = abs(np.arctan2(dK[1, 0], dK[0, 0]))
             if trans > p.keyframe_trans or rot > p.keyframe_rot:
                 kf_idx = self.detector.add_keyframe(
-                    pts[f], msk[f], position=poses[f][:2, 2]
+                    pts[f], msk[f], position=pose2[:2, 2]
                 )
                 kf_frames.append(f)
-                kf_poses2.append(poses[f])
+                kf_poses2.append(pose2)
                 if cfg.backend.enabled:
-                    for cand in self.detector.candidates(kf_idx):
-                        n_cands += 1
-                        mi = cand.match_idx
-                        T_pred = np.linalg.inv(kf_poses2[mi]) @ poses[f]
-                        lc = self.detector.verify(
-                            cand,
-                            pts[f], msk[f],
-                            pts[kf_frames[mi]], msk[kf_frames[mi]],
-                            T_pred=T_pred,
+                    # one nested-vmap dispatch for all candidates
+                    cands = self.detector.candidates(kf_idx)
+                    if cands:
+                        n_cands += len(cands)
+                        mp = np.stack(
+                            [pts[kf_frames[c.match_idx]] for c in cands]
                         )
-                        if lc is not None:
-                            closures.append(lc)
+                        mm = np.stack(
+                            [msk[kf_frames[c.match_idx]] for c in cands]
+                        )
+                        T_preds = np.stack([
+                            np.linalg.inv(kf_poses2[c.match_idx]) @ pose2
+                            for c in cands
+                        ])
+                        for lc in self.detector.verify_batch(
+                            cands, pts[f], msk[f], mp, mm, T_preds=T_preds
+                        ):
+                            if lc is not None:
+                                closures.append(lc)
             anchor_kf.append(len(kf_frames) - 1)
+
+        if mode == "fused":
+            if lifted:
+                st = pipe3.init_state(pts3[0], msk[0])
+                st, infos = pipe3.run_fused(st, pts3[1:], msk[1:])
+                poses = np.concatenate(
+                    [np.eye(3)[None]]
+                    + [[_to2(T)] for T in np.asarray(infos["pose"], np.float64)]
+                )
+            else:
+                st = self.pipe.init_state(pts[0], msk[0], with_grid=False)
+                st, infos = self.pipe.run_fused(st, pts[1:], msk[1:])
+                all_poses = np.asarray(infos["pose"], np.float64)
+                poses = np.concatenate([np.eye(3)[None], all_poses])
+            for f in range(1, len(pts)):
+                process_frame(f, poses[f])
+        else:
+            def save_ck(next_frame):
+                from tpu_icp_slam.slam.checkpoint import save_slam_checkpoint
+
+                save_slam_checkpoint(
+                    checkpoint_path,
+                    "scan_to_map" if lifted else "odom",
+                    state, next_frame, poses_l, kf_frames, kf_poses2,
+                    anchor_kf, self.detector._descs,
+                    self.detector._positions, closures, n_cands, cfg=cfg,
+                )
+
+            for f in range(start, len(pts)):
+                prev_state = state
+                if lifted:
+                    state, info = pipe3.step(state, pts3[f], msk[f])
+                    pose2 = _to2(np.asarray(info["pose"], np.float64))
+                else:
+                    state, info = self.pipe.step(state, pts[f], msk[f])
+                    pose2 = np.asarray(info["pose"], np.float64)
+                if not np.isfinite(pose2).all():  # poisoned frame: skip
+                    state = prev_state
+                    poses_l.append(poses_l[-1])
+                    anchor_kf.append(len(kf_frames) - 1)
+                    continue
+                poses_l.append(pose2)
+                process_frame(f, pose2)
+                if (
+                    checkpoint_every
+                    and checkpoint_path
+                    and f % checkpoint_every == 0
+                ):
+                    save_ck(f + 1)
+            poses = np.stack(poses_l)
 
         report = SlamReport(
             n_frames=len(pts),

@@ -15,6 +15,7 @@ had no backend (SURVEY.md §2a R3) — capability mandated by the driver.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import numpy as np
@@ -42,7 +43,15 @@ class Slam3D:
         self.pipe = ScanToMapPipeline(cfg)
         self.detector = LoopDetector(cfg.backend)
 
-    def run(self, pts: np.ndarray, msk: np.ndarray, mode: str = "fused"):
+    def run(
+        self,
+        pts: np.ndarray,
+        msk: np.ndarray,
+        mode: str = "fused",
+        checkpoint_path: Optional[str] = None,
+        checkpoint_every: int = 0,
+        resume: bool = False,
+    ):
         """pts (F, C, 3), msk (F, C) -> (poses (F, 4, 4), SlamReport).
 
         mode="fused": the whole odometry front-end is ONE device dispatch
@@ -51,17 +60,44 @@ class Slam3D:
         batch pass after — the offline/bench shape. mode="streaming" steps
         frame by frame with the backend interleaved per keyframe — the
         live-sensor shape. Both produce the same factors.
+
+        checkpoint_every > 0 / resume force streaming and save/restore the
+        FULL state: front-end pytree + keyframe database (frames, poses,
+        descriptors, positions) + accepted closures (SURVEY.md §5;
+        VERDICT r1 item 4 — the config-4 recovery story).
         """
         cfg = self.cfg
-        state = self.pipe.init_state(pts[0], msk[0])
-        poses = [np.eye(4)]
-        kf_frames = [0]
-        kf_poses = [np.eye(4)]
-        self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(3))
-        # per-frame anchoring for post-optimization correction
-        anchor_kf = [0]
+        if checkpoint_every or resume:
+            mode = "streaming"
+        start = 1
+        state = None
+        poses: list = []
+        kf_frames: list = []
+        kf_poses: list = []
+        anchor_kf: list = []
         closures: list[LoopClosure] = []
         n_cands = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from tpu_icp_slam.slam.checkpoint import load_slam_checkpoint
+
+            ck = load_slam_checkpoint(checkpoint_path, cfg)
+            state = ck["fe_state"]
+            start = ck["next_frame"]
+            poses = ck["poses"]
+            kf_frames = ck["kf_frames"]
+            kf_poses = ck["kf_poses"]
+            anchor_kf = ck["anchor_kf"]
+            closures = ck["closures"]
+            n_cands = ck["n_cands"]
+            self.detector._descs = [np.asarray(d) for d in ck["descs"]]
+            self.detector._positions = ck["positions"]
+        if state is None:
+            state = self.pipe.init_state(pts[0], msk[0])
+            poses = [np.eye(4)]
+            kf_frames = [0]
+            kf_poses = [np.eye(4)]
+            anchor_kf = [0]  # per-frame anchoring for post-opt correction
+            self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(3))
 
         def on_keyframe(f, pose):
             nonlocal n_cands
@@ -71,19 +107,35 @@ class Slam3D:
             kf_frames.append(f)
             kf_poses.append(pose)
             if cfg.backend.enabled:
-                for cand in self.detector.candidates(kf_idx):
-                    n_cands += 1
-                    mi = cand.match_idx
-                    fi_, fj_ = kf_frames[mi], f
-                    T_pred = np.linalg.inv(kf_poses[mi]) @ pose
-                    lc = self.detector.verify(
-                        cand,
-                        pts[fj_], msk[fj_],
-                        pts[fi_], msk[fi_],
-                        T_pred=T_pred,
+                # all candidates of this keyframe verify in ONE device
+                # dispatch (candidates × yaw-hypotheses nested vmap)
+                cands = self.detector.candidates(kf_idx)
+                if cands:
+                    n_cands += len(cands)
+                    mp = np.stack(
+                        [pts[kf_frames[c.match_idx]] for c in cands]
                     )
-                    if lc is not None:
-                        closures.append(lc)
+                    mm = np.stack(
+                        [msk[kf_frames[c.match_idx]] for c in cands]
+                    )
+                    T_preds = np.stack([
+                        np.linalg.inv(kf_poses[c.match_idx]) @ pose
+                        for c in cands
+                    ])
+                    for lc in self.detector.verify_batch(
+                        cands, pts[f], msk[f], mp, mm, T_preds=T_preds
+                    ):
+                        if lc is not None:
+                            closures.append(lc)
+
+        def save_ck(next_frame):
+            from tpu_icp_slam.slam.checkpoint import save_slam_checkpoint
+
+            save_slam_checkpoint(
+                checkpoint_path, "scan_to_map", state, next_frame, poses,
+                kf_frames, kf_poses, anchor_kf, self.detector._descs,
+                self.detector._positions, closures, n_cands, cfg=cfg,
+            )
 
         self.final_state = None
         if mode == "fused":
@@ -97,13 +149,29 @@ class Slam3D:
                     on_keyframe(f, pose)
                 anchor_kf.append(len(kf_frames) - 1)
         else:
-            for f in range(1, len(pts)):
+            for f in range(start, len(pts)):
+                # failure detection (SURVEY.md §5): under jit nothing raises
+                # — detect a poisoned frame by value and skip it, keeping the
+                # previous front-end state (same policy as runner.py's
+                # odometry streaming loop)
+                prev_state = state
                 state, info = self.pipe.step(state, pts[f], msk[f])
                 pose = np.asarray(info["pose"], np.float64)
+                if not np.isfinite(pose).all():
+                    state = prev_state
+                    poses.append(poses[-1])
+                    anchor_kf.append(len(kf_frames) - 1)
+                    continue
                 poses.append(pose)
                 if bool(info["is_keyframe"]):
                     on_keyframe(f, pose)
                 anchor_kf.append(len(kf_frames) - 1)
+                if (
+                    checkpoint_every
+                    and checkpoint_path
+                    and f % checkpoint_every == 0
+                ):
+                    save_ck(f + 1)
 
         poses = np.stack(poses)
         self.final_state = state  # exposes the voxel map for artifact renders

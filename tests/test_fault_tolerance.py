@@ -30,6 +30,95 @@ def test_streaming_skips_nan_frame(tmp_path):
     assert not np.allclose(poses[6], poses[5]), "tracking did not resume"
 
 
+def _backend_cfg_2d():
+    from tpu_icp_slam.config import BackendConfig, ICPConfig
+
+    return SlamConfig(
+        icp=ICPConfig(method="point_to_point", max_iters=20,
+                      max_corr_dist=1.0, nn_backend="xla"),
+        pipeline=PipelineConfig(scan_capacity=256, keyframe_trans=1.0,
+                                keyframe_rot=0.3),
+        backend=BackendConfig(enabled=True, min_loop_separation=8,
+                              candidate_topk=3, verify_max_rmse=0.25,
+                              gating_radius=3.0, verify_max_dev=1.2,
+                              descriptor_rings=12, descriptor_sectors=48),
+    )
+
+
+def test_backend_checkpoint_resume_slam2d(tmp_path):
+    """Kill a backend-enabled (config-4-style) run mid-log; resuming from the
+    checkpoint reproduces the uninterrupted trajectory — keyframe DB,
+    descriptors and closures survive the restart (SURVEY.md §5;
+    VERDICT r1 item 4)."""
+    from tpu_icp_slam.slam.slam2d import Slam2D
+    from tpu_icp_slam.slam.runner import pad_scans
+
+    f_half = 20
+    log = synthetic.lidar2d_log(n_frames=f_half, n_beams=180, seed=0,
+                                noise=0.01)
+    fwd = [
+        synthetic.scan_to_points(log.ranges[i], log.angles, log.max_range)
+        for i in range(f_half)
+    ]
+    scans = fwd + fwd[::-1][1:]  # out-and-back: guarantees a revisit
+    cfg = _backend_cfg_2d()
+    pts, msk = pad_scans(scans, 256)
+    ck = str(tmp_path / "slam_ck.npz")
+
+    # uninterrupted streaming reference
+    ref_poses, ref_rep = Slam2D(cfg, sensor_max_range=log.max_range).run(
+        pts, msk, mode="streaming"
+    )
+
+    # crashed run: first 2/3 of the log, checkpoint every 5 frames...
+    crash_at = (2 * len(pts)) // 3
+    Slam2D(cfg, sensor_max_range=log.max_range).run(
+        pts[:crash_at], msk[:crash_at], checkpoint_path=ck, checkpoint_every=5
+    )
+    assert (tmp_path / "slam_ck.npz").exists()
+    # ...then a FRESH process-equivalent resumes the full log
+    res_poses, res_rep = Slam2D(cfg, sensor_max_range=log.max_range).run(
+        pts, msk, checkpoint_path=ck, resume=True
+    )
+    assert res_rep.n_keyframes == ref_rep.n_keyframes
+    assert res_rep.n_loop_closures == ref_rep.n_loop_closures
+    assert ref_rep.n_loop_closures >= 1, "revisit produced no closure"
+    np.testing.assert_allclose(res_poses, ref_poses, rtol=1e-5, atol=1e-6)
+
+
+def test_backend_checkpoint_resume_slam3d(tmp_path):
+    """Same contract on the 3D config-4 path (scan-to-map front-end)."""
+    from tpu_icp_slam.config import BackendConfig, ICPConfig, MappingConfig
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.slam.runner import pad_scans
+    from tpu_icp_slam.slam.slam3d import Slam3D
+
+    scans, _ = synthetic.velodyne_log(
+        n_frames=10, n_rings=8, n_azimuth=128, path_fraction=0.3, seed=1
+    )
+    scans = [voxel_downsample_np(s, 0.6) for s in scans]
+    cfg = SlamConfig(
+        icp=ICPConfig(method="point_to_point", max_iters=8, max_corr_dist=2.0,
+                      nn_backend="xla"),
+        mapping=MappingConfig(map_capacity=4096, local_model_size=1024,
+                              map_voxel=0.5),
+        pipeline=PipelineConfig(mode="scan_to_map", scan_capacity=512,
+                                keyframe_trans=1.0, keyframe_rot=0.3),
+        backend=BackendConfig(enabled=True, min_loop_separation=4,
+                              candidate_topk=2),
+    )
+    pts, msk = pad_scans(scans, 512)
+    ck = str(tmp_path / "slam3d_ck.npz")
+
+    ref_poses, ref_rep = Slam3D(cfg).run(pts, msk, mode="streaming")
+    Slam3D(cfg).run(pts[:7], msk[:7], checkpoint_path=ck, checkpoint_every=3)
+    res_poses, res_rep = Slam3D(cfg).run(
+        pts, msk, checkpoint_path=ck, resume=True
+    )
+    assert res_rep.n_keyframes == ref_rep.n_keyframes
+    np.testing.assert_allclose(res_poses, ref_poses, rtol=1e-5, atol=1e-6)
+
+
 def test_checkpoint_resume_scan_to_map(tmp_path):
     from tpu_icp_slam.slam.checkpoint import load_checkpoint, save_checkpoint
     from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
