@@ -35,6 +35,8 @@ class ICPConfig:
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged
     nn_backend: str = "auto"  # auto | pallas | xla | voxel
+    nn_precision: str = "highest"  # highest | bf16 (pallas NN contraction;
+    # bf16 = recentered single-pass — selection-only jitter, see nn_pallas.py)
     gn_backend: str = "auto"  # auto | pallas | xla (fused GN accumulation)
     nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
     nn_tile_m: int = 0  # Pallas NN source-tile rows (0 = kernel default)

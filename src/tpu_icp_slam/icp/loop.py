@@ -65,6 +65,7 @@ def _nn_correspondence(cfg: ICPConfig, dst: PointCloud):
             idx, _ = nearest_neighbor(
                 cur_pts, dst.points, backend=cfg.nn_backend, chunk=cfg.nn_chunk,
                 tile_m=cfg.nn_tile_m, tile_n=cfg.nn_tile_n,
+                precision=cfg.nn_precision,
             )
         q = dst.points[idx]
         n = dst.normals[idx] if dst.normals is not None else None

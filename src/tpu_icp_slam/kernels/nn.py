@@ -28,14 +28,20 @@ def nearest_neighbor(
     chunk: int = 2048,
     tile_m: int = 0,
     tile_n: int = 0,
+    precision: str = "highest",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(M, D), (N, D) -> (idx (M,) int32, dist_sq (M,) f32)."""
+    """(M, D), (N, D) -> (idx (M,) int32, dist_sq (M,) f32).
+
+    precision (pallas backend only): "highest" = f32 multi-pass MXU
+    contraction; "bf16" = recentered single-pass (see nn_pallas.py header
+    for why that's safe for correspondence *selection*).
+    """
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
     if backend == "pallas":
         from tpu_icp_slam.kernels.nn_pallas import nn_bruteforce_pallas
 
-        kw = {}
+        kw = {"precision": precision}
         if tile_m:
             kw["tile_m"] = tile_m
         if tile_n:

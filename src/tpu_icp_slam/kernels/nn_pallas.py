@@ -10,14 +10,34 @@ point in the revisited output block — the full distance matrix never exists
 anywhere, not even in VMEM.
 
 Key trick: the argmin over j of ‖a_i − b_j‖² doesn't need the ‖a_i‖² term
-(constant per row), and the ‖b_j‖² term can ride the matmul as an extra
-contraction lane:
+(constant per row), so the per-tile score is
 
-    e_ij = ‖b_j‖² − 2 a_i·b_j = ã_i · b̃_j,   ã = [−2a, 1],  b̃ = [b, ‖b‖²]
+    e_ij = ‖b_j‖² − 2 a_i·b_j
 
-so the whole distance tile is ONE MXU matmul and the VPU does only the
-min/argmin folds. True squared distances are recovered at the end by adding
-‖a_i‖² once per source point (then clamped ≥ 0).
+where the cross term is ONE MXU matmul and ‖b_j‖² is a precomputed f32 row
+vector added on the VPU (kept OUT of the matmul so its magnitude never
+rides a low-precision contraction). True squared distances are recovered at
+the end by adding ‖a_i‖² once per source point (then clamped ≥ 0).
+
+Precision modes (the r2 A/B, VERDICT r1 item 3):
+- "highest": f32 multi-pass contraction. Bit-conservative; ~6 MXU passes.
+- "bf16": ONE bf16 MXU pass with TWO tricks stacked:
+  1. recentering — subtract the valid-target bounding-box midpoint (f32) so
+     bf16 sees scene-extent magnitudes, not world offsets;
+  2. hi/lo lane packing — plain bf16 is still too coarse (score error
+     ~|a|·|b|·2⁻⁹ ≈ metres² at 30 m extent, measured to mis-select by
+     >1 m), so each coordinate splits Dekker-style into bf16 hi+lo halves
+     and the THREE cross products fold into one contraction:
+         ã = [-2a_hi, -2a_lo, -2a_hi],  b̃ = [b_hi, b_hi, b_lo]
+         ã·b̃ = -2(a_hi·b_hi + a_lo·b_hi + a_hi·b_lo) ≈ -2 a·b
+     dropping only the a_lo·b_lo term (~1e-2 m²). The MXU contraction is
+     128 lanes wide, so 9 used lanes (padded to 16) cost exactly the same
+     single pass as 3 — bf16x2 accuracy at 1-pass price, ~6× fewer MXU
+     passes than HIGHEST. The ‖b‖² term stays f32 on the VPU. Callers
+     recompute true residuals in f32 difference form from the returned
+     index (icp/loop.py), so only correspondence *selection* carries the
+     residual ~cm jitter — harmless to ICP's least-squares (measured:
+     BASELINE.md r2 A/B table).
 
 Grid: (M/TM, N/TN) with the target axis innermost, so each output block is
 initialized at j == 0 and folded over all target tiles while resident in
@@ -37,21 +57,20 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Augmented coordinate width: [x, y, z, ‖·‖²-lane, 0, 0, 0, 0] — K=8 keeps the
-# f32 contraction sublane-aligned.
+# Contraction lane counts: [x, y, z, 0…] padded to 8 for f32; the bf16
+# hi/lo packing uses 3×3 = 9 lanes padded to 16 (bf16 sublane tile is 16).
+# Both are far under the MXU's native 128-lane contraction — one pass each.
 COORD_PAD = 8
+COORD_PAD_BF16 = 16
 
 
-def _nn_kernel(precision, src_ref, dst_ref, dist_ref, idx_ref):
+def _nn_kernel(precision, src_ref, dst_ref, bsq_ref, dist_ref, idx_ref):
     j = pl.program_id(1)
     tn = dst_ref.shape[0]
 
-    a = src_ref[:]  # (TM, 8): [-2x, -2y, -2z, 1, 0...]
-    b = dst_ref[:]  # (TN, 8): [x, y, z, ‖b‖², 0...]
-    # ONE MXU op per tile: e = ‖b‖² − 2 a·b. Full-f32 passes (HIGHEST):
-    # Mosaic supports only DEFAULT (single bf16 pass — corrupts coordinates
-    # at scene scale) and HIGHEST; with K=8 the matmul is ~6% MXU-utilized
-    # either way, so the extra passes are not the bottleneck.
+    a = src_ref[:]  # (TM, 8): [-2x, -2y, -2z, 0...] (f32 or bf16)
+    b = dst_ref[:]  # (TN, 8): [x, y, z, 0...]
+    # ONE MXU op per tile: the cross term −2 a·b, f32 accumulation.
     e = jax.lax.dot_general(
         a,
         b,
@@ -59,6 +78,7 @@ def _nn_kernel(precision, src_ref, dst_ref, dist_ref, idx_ref):
         preferred_element_type=jnp.float32,
         precision=precision,
     )  # (TM, TN)
+    e = e + bsq_ref[:]  # + ‖b‖² (f32 row vector, broadcast over TM)
     local_best = jnp.min(e, axis=1)  # (TM,)
     local_arg = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tn  # (TM,)
 
@@ -80,7 +100,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_m", "tile_n", "interpret")
+    jax.jit, static_argnames=("tile_m", "tile_n", "interpret", "precision")
 )
 def nn_bruteforce_pallas(
     src: jnp.ndarray,
@@ -88,6 +108,7 @@ def nn_bruteforce_pallas(
     tile_m: int = 1024,
     tile_n: int = 8192,
     interpret: bool | None = None,
+    precision: str = "highest",  # highest | bf16 (recentered single-pass)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D), (N, D) f32 -> (idx (M,) int32, dist_sq (M,) f32).
 
@@ -111,28 +132,57 @@ def nn_bruteforce_pallas(
     mp = _round_up(m, tile_m)
     np_ = _round_up(n, tile_n)
 
-    # augmented layouts (padding rows first, then the extra lanes)
+    if precision == "bf16":
+        # Recenter on the valid-target bounding-box midpoint (f32) so bf16
+        # sees scene-extent magnitudes, not world/sensor-range offsets. The
+        # argmin is invariant to a common shift; padded slots (sentinel
+        # ~1e6) are excluded from the stats but keep losing via ‖b‖².
+        valid = jnp.all(jnp.abs(dst) < 1.0e5, axis=1, keepdims=True)
+        big = jnp.float32(3.0e38)
+        lo = jnp.min(jnp.where(valid, dst, big), axis=0)
+        hi = jnp.max(jnp.where(valid, dst, -big), axis=0)
+        any_valid = jnp.any(valid)
+        center = jnp.where(any_valid, 0.5 * (lo + hi), 0.0)
+        src = src - center
+        dst = dst - center
+
+    # padding rows first, then the extra lanes
     a_sq = jnp.sum(src * src, axis=1)  # (M,) for d² recovery
     src_p = jnp.pad(src, ((0, mp - m), (0, 0)))
     dst_p = jnp.pad(dst, ((0, np_ - n), (0, 0)), constant_values=1.0e6)
-    b_sq = jnp.sum(dst_p * dst_p, axis=1, keepdims=True)  # (Np, 1)
-    ones = jnp.ones((mp, 1), jnp.float32)
-    a_aug = jnp.concatenate([-2.0 * src_p, ones], axis=1)  # (Mp, D+1)
-    b_aug = jnp.concatenate([dst_p, b_sq], axis=1)  # (Np, D+1)
-    lanes_pad = COORD_PAD - (dim + 1)
-    a_aug = jnp.pad(a_aug, ((0, 0), (0, lanes_pad)))
-    b_aug = jnp.pad(b_aug, ((0, 0), (0, lanes_pad)))
+    b_sq = jnp.sum(dst_p * dst_p, axis=1)[None, :]  # (1, Np) f32, stays f32
 
-    # Mosaic rejects Precision.HIGH (bf16x3); DEFAULT's single bf16 pass is
-    # too coarse for scene-scale coordinates, so always use HIGHEST.
-    precision = jax.lax.Precision.HIGHEST
+    if precision == "bf16":
+        # hi/lo split (Dekker): x = hi + lo with hi = bf16(x). The ×(−2)
+        # scale is exact in bf16 (exponent bump), so apply it post-split.
+        a_hi = src_p.astype(jnp.bfloat16)
+        a_lo = (src_p - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        b_hi = dst_p.astype(jnp.bfloat16)
+        b_lo = (dst_p - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        two = jnp.bfloat16(-2.0)
+        a_aug = jnp.concatenate([two * a_hi, two * a_lo, two * a_hi], axis=1)
+        b_aug = jnp.concatenate([b_hi, b_hi, b_lo], axis=1)
+        lanes = COORD_PAD_BF16
+        a_aug = jnp.pad(a_aug, ((0, 0), (0, lanes - 3 * dim)))
+        b_aug = jnp.pad(b_aug, ((0, 0), (0, lanes - 3 * dim)))
+        mxu_precision = jax.lax.Precision.DEFAULT
+        passes = 1
+    else:
+        # Mosaic rejects Precision.HIGH (bf16x3); DEFAULT on f32 operands at
+        # scene scale corrupts the cross term, so full-f32 passes (HIGHEST).
+        lanes = COORD_PAD
+        a_aug = jnp.pad(-2.0 * src_p, ((0, 0), (0, lanes - dim)))
+        b_aug = jnp.pad(dst_p, ((0, 0), (0, lanes - dim)))
+        mxu_precision = jax.lax.Precision.HIGHEST
+        passes = 6
     grid = (mp // tile_m, np_ // tile_n)
     e_min, idx = pl.pallas_call(
-        functools.partial(_nn_kernel, precision),
+        functools.partial(_nn_kernel, mxu_precision),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile_m, COORD_PAD), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, COORD_PAD), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, lanes), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, lanes), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, tile_m), lambda i, j: (0, i), memory_space=pltpu.VMEM),
@@ -143,11 +193,12 @@ def nn_bruteforce_pallas(
             jax.ShapeDtypeStruct((1, mp), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * mp * np_ * COORD_PAD,
-            bytes_accessed=(mp + np_) * COORD_PAD * 4 + 2 * mp * 4,
+            flops=2 * mp * np_ * lanes * passes,
+            bytes_accessed=(mp + np_) * lanes * a_aug.dtype.itemsize
+            + np_ * 4 + 2 * mp * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(a_aug, b_aug)
+    )(a_aug, b_aug, b_sq)
     d2 = jnp.maximum(e_min[0, :m] + a_sq, 0.0)
     return idx[0, :m], d2

@@ -60,6 +60,47 @@ def test_pallas_nn_sentinel_padding_never_wins():
     assert np.all(np.asarray(idx) < 100)
 
 
+def test_pallas_bf16_recentered_selection_quality():
+    """bf16 single-pass mode: correspondence selection must be near-exact
+    even with a large world-frame offset (the recentering's whole job).
+    Selection may legitimately differ on near-ties, so assert the PICKED
+    distance is within a small absolute margin of the true nearest."""
+    rng = np.random.default_rng(3)
+    offset = np.asarray([500.0, -300.0, 40.0], np.float32)  # world offset
+    src = (rng.uniform(-30, 30, (800, 3)) + offset).astype(np.float32)
+    dst = (rng.uniform(-30, 30, (2000, 3)) + offset).astype(np.float32)
+    idx, d2 = nn_bruteforce_pallas(
+        jnp.asarray(src), jnp.asarray(dst), interpret=True, precision="bf16"
+    )
+    _, od2 = _oracle(src.astype(np.float64), dst.astype(np.float64))
+    picked = ((src.astype(np.float64) - dst[np.asarray(idx)].astype(np.float64)) ** 2).sum(-1)
+    # picked neighbor within 5 cm (in distance) of the true nearest
+    excess = np.sqrt(picked) - np.sqrt(od2)
+    assert float(excess.max()) < 0.05, float(excess.max())
+    # the returned d2 (factored form) tracks the true picked distance
+    np.testing.assert_allclose(np.asarray(d2), picked, rtol=5e-2, atol=5e-2)
+
+
+def test_pallas_bf16_icp_recovers_transform():
+    """End-to-end: ICP with the bf16 NN converges to the same transform."""
+    from tpu_icp_slam.config import ICPConfig
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.eval import metrics
+    from tpu_icp_slam.icp import align
+
+    s, d, T_gt = synthetic.two_scan_pair(n=512, seed=4, rot_scale=0.2,
+                                         trans_scale=0.3)
+    res = align(
+        pcm.make(s, 512), pcm.make(d, 512),
+        cfg=ICPConfig(max_iters=25, tol=1e-6, nn_backend="pallas",
+                      nn_precision="bf16"),
+    )
+    rot_err, trans_err = metrics.transform_error(
+        np.asarray(res.T, np.float64), T_gt
+    )
+    assert rot_err < 2e-3 and trans_err < 2e-3, (rot_err, trans_err)
+
+
 def test_pallas_matches_xla_fallback():
     rng = np.random.default_rng(2)
     src = rng.uniform(-20, 20, (777, 3)).astype(np.float32)
