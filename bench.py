@@ -5,9 +5,24 @@ point-to-plane ICP against the voxel map with keyframe inserts, the
 BASELINE.json config-4 regime — on a synthetic Velodyne-style log (stand-in
 for KITTI seq 00 until real data is mounted, SURVEY.md §7). The baseline is
 the golden fp64 CPU ICP (scipy cKDTree), playing the reference pipeline's
-role (SURVEY.md §0.4). Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N}
+role (SURVEY.md §0.4).
+
+Two regimes (BENCH_REGIME = kitti | toy | both, default both):
+- "kitti": 16,384-pt scans vs a 131k-pt map at 0.15 m voxel — real KITTI
+  frame scale after downsample; THE headline metric (VERDICT r1: the old
+  4k-point headline measured a toy).
+- "toy": the 4,096-pt regime kept for history/banding continuity.
+
+Also reports achieved FLOP/s and MFU (% of v5e bf16 peak) computed from the
+NN kernel's analytic cost (2·M·N·K per ICP iteration × measured mean
+iterations × fps) — the utilization axis VERDICT r1 demanded.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "frames/s", "vs_baseline": N,
+   "kitti_scale_fps": N, "toy_fps": N, "mfu_pct": N, ...}
 vs_baseline = TPU frames/s ÷ golden-CPU frames/s on the same scans.
+Exit code 3 when outside the stored perf band (BENCH_BAND_SOFT=1 to wave
+through deliberately).
 """
 
 from __future__ import annotations
@@ -21,15 +36,22 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "src
 
 import numpy as np  # noqa: E402
 
+REGIME = os.environ.get("BENCH_REGIME", "both")  # kitti | toy | both
 FRAMES = int(os.environ.get("BENCH_FRAMES", "40"))
 CAPACITY = int(os.environ.get("BENCH_CAPACITY", "4096"))
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
 CPU_FRAMES = int(os.environ.get("BENCH_CPU_FRAMES", "6"))
+KITTI_FRAMES = int(os.environ.get("BENCH_KITTI_FRAMES", "30"))
 MODE = os.environ.get("BENCH_MODE", "scan_to_map")  # scan_to_map | scan_to_scan
 TRACE_DIR = os.environ.get("BENCH_TRACE_DIR", "")  # capture a profiler trace
 
+# v5e peak: 197 TFLOP/s bf16 on the MXU. The NN contraction runs at
+# Precision.HIGHEST (multi-pass) unless the recentered-bf16 variant is
+# active, so this is the hardest (most honest) denominator.
+V5E_PEAK_FLOPS = 197e12
 
-def _load_scans():
+
+def _toy_scans():
     from tpu_icp_slam.core.pointcloud import voxel_downsample_np
     from tpu_icp_slam.datasets import synthetic
 
@@ -37,37 +59,57 @@ def _load_scans():
     return [voxel_downsample_np(s, 0.3) for s in scans]
 
 
-def _cfg():
+def _kitti_scans():
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.datasets import synthetic
+
+    scans, _ = synthetic.velodyne_log(
+        n_frames=KITTI_FRAMES, n_rings=48, n_azimuth=1024
+    )
+    return [voxel_downsample_np(s, 0.15) for s in scans]
+
+
+def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
+         kf_trans):
     from tpu_icp_slam.config import (
         ICPConfig, MappingConfig, PipelineConfig, SlamConfig,
     )
 
     return SlamConfig(
         icp=ICPConfig(
-            method="point_to_plane", max_iters=20, max_corr_dist=1.5,
+            method="point_to_plane", max_iters=20, max_corr_dist=max_corr,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
-            min_inliers=50, huber_delta=0.3, tol=1e-5,
+            min_inliers=min_inl, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01,  # over-relaxed ICP: ~2.2x fewer
             # iterations at equal ATE (BASELINE.md)
         ),
         mapping=MappingConfig(
-            map_capacity=65536, local_model_size=8192, map_voxel=0.3
+            map_capacity=map_capacity, local_model_size=local_model,
+            map_voxel=map_voxel,
         ),
         pipeline=PipelineConfig(
-            mode="scan_to_map", scan_capacity=CAPACITY,
-            keyframe_trans=2.0, keyframe_rot=0.2,
+            mode="scan_to_map", scan_capacity=capacity,
+            keyframe_trans=kf_trans, keyframe_rot=0.2,
         ),
     )
 
 
-def bench_tpu(scans) -> tuple[float, float]:
-    """Returns (frames/s steady, compile_s)."""
+def _toy_cfg():
+    return _cfg(CAPACITY, 65536, 8192, 0.3, 1.5, 50, 2.0)
+
+
+def _kitti_cfg():
+    return _cfg(16384, 131072, 16384, 0.2, 1.0, 100, 1.5)
+
+
+def bench_tpu(scans, cfg, trace=False):
+    """Returns (frames/s steady, compile_s, mean_icp_iters)."""
     import jax
 
     from tpu_icp_slam.slam.runner import pad_scans
 
-    cfg = _cfg()
-    pts, msk = pad_scans(scans, CAPACITY)
+    cap = cfg.pipeline.scan_capacity
+    pts, msk = pad_scans(scans, cap)
     if MODE == "scan_to_map":
         from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
@@ -76,72 +118,151 @@ def bench_tpu(scans) -> tuple[float, float]:
         from tpu_icp_slam.slam.pipeline import OdometryPipeline
 
         pipe = OdometryPipeline(cfg, dim=3)
+    # timing hygiene: jax.block_until_ready LIES on the axon tunnel (buffers
+    # report ready while execution is queued; measured r2: block returned in
+    # 5 ms, value arrived 208 s later). `realize` (host readback) is the only
+    # honest fence — round-1's recorded throughput was an enqueue rate.
+    from tpu_icp_slam.obs import realize
+
     state0 = pipe.init_state(pts[0], msk[0])
     t0 = time.perf_counter()
     st, infos = pipe.run_fused(state0, pts[1:], msk[1:])
-    jax.block_until_ready(infos["pose"])
+    realize(infos["pose"])
     compile_s = time.perf_counter() - t0
+    mean_iters = float(np.asarray(infos["iters"]).mean())
     best = np.inf
     import contextlib
 
     from tpu_icp_slam.obs import profile as prof
 
-    tracer = prof.trace(TRACE_DIR) if TRACE_DIR else contextlib.nullcontext()
+    tracer = (
+        prof.trace(TRACE_DIR) if (TRACE_DIR and trace) else contextlib.nullcontext()
+    )
     with tracer:
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             st, infos = pipe.run_fused(state0, pts[1:], msk[1:])
-            jax.block_until_ready(infos["pose"])
+            realize(infos["pose"])
             best = min(best, time.perf_counter() - t0)
-    return (len(scans) - 1) / best, compile_s
+    return (len(scans) - 1) / best, compile_s, mean_iters
 
 
-def bench_cpu_golden(scans) -> float:
+def bench_cpu_golden(scans, n_frames) -> float:
     from tpu_icp_slam.eval import golden
 
-    sub = scans[: CPU_FRAMES + 1]
+    sub = scans[: n_frames + 1]
     t0 = time.perf_counter()
     golden.odometry(sub, max_iters=30)
     dt = time.perf_counter() - t0
-    return len(sub) / dt
+    # (len-1): frame 0 performs no alignment — matches the TPU fps definition
+    return (len(sub) - 1) / dt
+
+
+def _nn_flops_per_frame(cfg, mean_iters: float) -> float:
+    """Analytic MXU work of the dominant kernel: the NN contraction inside
+    the ICP while_loop — 2·M·N·K per iteration (K=8 augmented lanes,
+    kernels/nn_pallas.py). Other work (GN accumulation, map ops) is ignored,
+    so this UNDERSTATES achieved FLOP/s — conservative for MFU."""
+    m = cfg.pipeline.scan_capacity
+    n = cfg.mapping.local_model_size
+    return 2.0 * m * n * 8 * mean_iters
 
 
 def main() -> int:
     from tpu_icp_slam.obs.compile_cache import enable as _enable_cache
 
     _enable_cache()
-    scans = _load_scans()
-    fps, compile_s = bench_tpu(scans)
-    cpu_fps = bench_cpu_golden(scans)
     import jax
 
-    report = {
-        "metric": f"{MODE}_frames_per_s_per_chip_sim3d",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / cpu_fps, 3),
-        "baseline": "golden fp64 CPU ICP (scipy cKDTree), same scans",
-        "baseline_fps": round(cpu_fps, 3),
-        "frames": FRAMES,
-        "points_per_scan": CAPACITY,
-        "compile_s": round(compile_s, 1),
-        "platform": jax.default_backend(),
-    }
-    # perf-regression band (SURVEY.md §4b): bench_band.json holds the last
-    # accepted range; flag (don't fail) when outside — the shared tunnel
-    # hardware has ±30% run-to-run variance, so a band, not a point
+    report = {}
+    bands_ok = []
+
+    kitti_fps = toy_fps = None
+    if REGIME in ("kitti", "both"):
+        scans = _kitti_scans()
+        cfg = _kitti_cfg()
+        kitti_fps, compile_k, iters_k = bench_tpu(scans, cfg, trace=True)
+        cpu_fps = bench_cpu_golden(scans, max(2, CPU_FRAMES // 2))
+        flops = _nn_flops_per_frame(cfg, iters_k) * kitti_fps
+        report.update({
+            "metric": "scan_to_map_frames_per_s_per_chip_kitti_scale",
+            "value": round(kitti_fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(kitti_fps / cpu_fps, 3),
+            "baseline": "golden fp64 CPU ICP (scipy cKDTree), same scans",
+            "baseline_fps": round(cpu_fps, 3),
+            "kitti_scale_fps": round(kitti_fps, 3),
+            "frames": KITTI_FRAMES,
+            "points_per_scan": 16384,
+            "map_points": 131072,
+            "mean_icp_iters": round(iters_k, 2),
+            "achieved_tflops": round(flops / 1e12, 2),
+            "mfu_pct": round(100.0 * flops / V5E_PEAK_FLOPS, 2),
+            "compile_s": round(compile_k, 1),
+        })
+    if REGIME in ("toy", "both"):
+        scans = _toy_scans()
+        toy_fps, compile_t, iters_t = bench_tpu(scans, _toy_cfg())
+        report.setdefault("metric", f"{MODE}_frames_per_s_per_chip_sim3d")
+        report.setdefault("value", round(toy_fps, 3))
+        report.setdefault("unit", "frames/s")
+        report["toy_fps"] = round(toy_fps, 3)
+        report.setdefault("compile_s", round(compile_t, 1))
+        if "vs_baseline" not in report:
+            cpu_fps = bench_cpu_golden(scans, CPU_FRAMES)
+            report["vs_baseline"] = round(toy_fps / cpu_fps, 3)
+            report["baseline"] = (
+                "golden fp64 CPU ICP (scipy cKDTree), same scans"
+            )
+            report["baseline_fps"] = round(cpu_fps, 3)
+    report["platform"] = jax.default_backend()
+    # surface a skipped real-TPU suite check to the driver (the smoke test
+    # writes this marker when the tunnel is congested; a healthy run clears
+    # it) — green-with-silent-skip was VERDICT r1's top verification gap
+    marker = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "TPU_CHECKS_SKIPPED.json"
+    )
+    if os.path.exists(marker):
+        try:
+            with open(marker) as fh:
+                report["tpu_checks_skipped"] = json.load(fh)
+        except Exception:
+            report["tpu_checks_skipped"] = True
+
+    # perf-regression bands (SURVEY.md §4b): bench_band.json holds the last
+    # accepted range per metric; violations return a NONZERO exit code so the
+    # driver sees the regression (BENCH_BAND_SOFT=1 for exploratory runs —
+    # the shared tunnel has ±30% variance plus rare congestion collapses,
+    # which a soft run can wave through deliberately, not silently)
     band_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "bench_band.json")
     if os.path.exists(band_file):
         try:
             with open(band_file) as fh:
-                band = json.load(fh).get(report["metric"])
-            if band:
-                report["band"] = band
-                report["within_band"] = bool(band[0] <= fps <= band[1])
+                bands = json.load(fh)
         except Exception:
-            pass
+            bands = {}
+        checks = []
+        if kitti_fps is not None:
+            checks.append(
+                ("scan_to_map_frames_per_s_per_chip_kitti_scale", kitti_fps)
+            )
+        if toy_fps is not None:
+            checks.append(("scan_to_map_frames_per_s_per_chip_sim3d", toy_fps))
+        for name, val in checks:
+            band = bands.get(name)
+            if band:
+                ok = bool(band[0] <= val <= band[1])
+                bands_ok.append(ok)
+                report.setdefault("bands", {})[name] = {
+                    "band": band, "value": round(val, 1), "ok": ok,
+                }
+        if bands_ok:
+            report["within_band"] = all(bands_ok)
+
     print(json.dumps(report))
+    if bands_ok and not all(bands_ok) and not os.environ.get("BENCH_BAND_SOFT"):
+        return 3
     return 0
 
 

@@ -2,6 +2,7 @@
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
 import numpy as np, numpy.linalg as la, jax
+from tpu_icp_slam.obs import realize  # honest fence: axon block_until_ready lies
 from tpu_icp_slam.obs.compile_cache import enable
 enable()
 from tpu_icp_slam.config import SlamConfig, ICPConfig, MappingConfig, PipelineConfig
@@ -39,7 +40,7 @@ pipe = ScanToMapPipeline(cfg)
 t0 = time.time()
 st = pipe.init_state(pts[0], msk[0])
 st, infos = pipe.run_fused(st, pts[1:], msk[1:])
-jax.block_until_ready(infos['pose'])
+realize(infos['pose'])
 print('compile+run', round(time.time()-t0,1), 's', flush=True)
 poses = np.concatenate([np.eye(4)[None], np.asarray(infos['pose'])])
 err = la.norm(poses[:,:3,3]-gt_rel[:len(poses),:3,3],axis=1)
@@ -51,5 +52,5 @@ print('ATE', round(em.ate_rmse(poses[:,:3,3], gt_rel[:len(poses),:3,3]),4),
 t0=time.time()
 st2 = pipe.init_state(pts[0], msk[0])
 st2, infos2 = pipe.run_fused(st2, pts[1:], msk[1:])
-jax.block_until_ready(infos2['pose'])
+realize(infos2['pose'])
 print(f'steady: {299/(time.time()-t0):.0f} frames/s', flush=True)

@@ -2,6 +2,7 @@
 import sys, os, time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
 import numpy as np, jax
+from tpu_icp_slam.obs import realize  # honest fence: axon block_until_ready lies
 from tpu_icp_slam.config import SlamConfig, ICPConfig, MappingConfig, PipelineConfig
 from tpu_icp_slam.datasets import synthetic
 from tpu_icp_slam.core.pointcloud import voxel_downsample_np
@@ -25,12 +26,12 @@ def run(tag, tm, tn):
     pipe = ScanToMapPipeline(cfg)
     st0 = pipe.init_state(pts[0], msk[0])
     st, infos = pipe.run_fused(st0, pts[1:], msk[1:])
-    jax.block_until_ready(infos['pose'])
+    realize(infos['pose'])
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         st, infos = pipe.run_fused(st0, pts[1:], msk[1:])
-        jax.block_until_ready(infos['pose'])
+        realize(infos['pose'])
         best = min(best, time.perf_counter()-t0)
     print(f"{tag}: {39/best:.0f} fps us/frame={best/39*1e6:.0f}", flush=True)
 

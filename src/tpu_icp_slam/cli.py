@@ -38,13 +38,17 @@ def cmd_align(args) -> int:
     cfg = ICPConfig(
         max_iters=args.max_iters, nn_backend=args.nn_backend, tol=1e-6
     )
+    # realize (host readback), not block_until_ready: the axon tunnel's
+    # buffers report ready while execution is still queued (obs/timers.py)
+    from tpu_icp_slam.obs import realize
+
     t0 = time.perf_counter()
     res = align(pcm.make(src, args.n), pcm.make(dst, args.n), cfg=cfg)
-    res.T.block_until_ready()
+    realize(res.T)
     t_first = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = align(pcm.make(src, args.n), pcm.make(dst, args.n), cfg=cfg)
-    res.T.block_until_ready()
+    realize(res.T)
     t_steady = time.perf_counter() - t0
     rot_err, trans_err = metrics.transform_error(
         np.asarray(res.T, np.float64), T_gt

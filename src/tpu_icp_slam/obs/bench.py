@@ -23,13 +23,15 @@ import numpy as np
 
 
 def _steady(fn, repeats: int = 3) -> float:
-    import jax
+    from tpu_icp_slam.obs import realize
 
-    jax.block_until_ready(fn())  # compile + warmup
+    realize(fn())  # compile + warmup; readback is the only honest fence
+    # on the axon tunnel (block_until_ready returns pre-execution, see
+    # obs/timers.realize — round-1 numbers were enqueue rates)
     best = np.inf
     for _ in range(repeats):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        realize(fn())
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -42,6 +42,23 @@ def timed(name: str, timer: Timer):
         yield
 
 
+def realize(tree):
+    """Force device execution to COMPLETE and return the values as numpy.
+
+    `jax.block_until_ready` is NOT sufficient on the axon tunnel backend:
+    its buffers report ready while execution is still queued (measured r2:
+    "blocked" returned in 5 ms, the actual value arrived 208 s later), which
+    silently turned round-1 throughput numbers into enqueue rates — 39.7k
+    "frames/s" on a chip whose roofline caps the same workload well below
+    that. Every timing loop must end with a real host readback of (a small)
+    output; all outputs of one executable materialize together, so reading
+    the (F,4,4) pose array is enough to prove the whole program ran.
+    """
+    import jax
+
+    return jax.tree_util.tree_map(lambda x: jax.device_get(x), tree)
+
+
 @contextlib.contextmanager
 def trace(logdir: str | None):
     """jax.profiler trace if a logdir is given, else no-op."""
