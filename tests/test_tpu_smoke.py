@@ -1,15 +1,39 @@
 """Real-TPU smoke: the Pallas NN kernel and the jitted ICP loop compile and
-run on the ambient (axon) TPU. Runs in a subprocess so the CPU-pinned pytest
+run on the ambient (axon) TPU. Runs in subprocesses so the CPU-pinned pytest
 process never initializes the TPU backend (SURVEY.md §4b).
 
-Skipped when no TPU platform is ambient (e.g. plain CPU CI).
+Hardened (VERDICT r1 item 5 / ADVICE r1): a congested tunnel must not
+silently convert regressions into skips —
+- a cheap PRE-FLIGHT dispatch (one jnp.add) separates "tunnel unreachable /
+  congested" from "our workload is slow": only a pre-flight timeout skips;
+- the real smoke then gets a LONG hard-fail budget (540 s): exceeding it
+  with a healthy tunnel is a genuine failure (the known divergence signature
+  is a 100-1000× slowdown, exactly what the old 150 s skip masked);
+- every skip writes a LOUD marker (TPU_CHECKS_SKIPPED.json at the repo root)
+  that bench.py folds into the driver-visible report; a passing run deletes
+  the marker.
+
+Skipped entirely when no TPU platform is ambient (plain CPU CI).
 """
 
+import json
 import os
 import subprocess
 import sys
+import time
 
 import pytest
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_MARKER = os.path.join(_REPO, "TPU_CHECKS_SKIPPED.json")
+
+_PREFLIGHT = r"""
+import jax, jax.numpy as jnp
+assert jax.devices()[0].platform == "tpu", jax.devices()
+x = jnp.add(jnp.ones((8, 8)), 1.0)
+jax.block_until_ready(x)
+print("TPU_PREFLIGHT_OK")
+"""
 
 _SCRIPT = r"""
 import numpy as np, jax, jax.numpy as jnp
@@ -26,10 +50,14 @@ from tpu_icp_slam.kernels.nn_pallas import nn_bruteforce_pallas
 rng = np.random.default_rng(0)
 src = jnp.asarray(rng.uniform(-5, 5, (256, 3)), jnp.float32)
 dst = jnp.asarray(rng.uniform(-5, 5, (300, 3)), jnp.float32)
-idx, d2 = nn_bruteforce_pallas(src, dst, tile_m=128, tile_n=256)
 D = ((np.asarray(src)[:, None, :] - np.asarray(dst)[None, :, :]) ** 2).sum(-1)
-picked = D[np.arange(256), np.asarray(idx)]
-assert np.allclose(picked, D.min(1), rtol=1e-3, atol=1e-3), "pallas NN wrong on TPU"
+for prec in ("highest", "bf16"):
+    idx, d2 = nn_bruteforce_pallas(src, dst, tile_m=128, tile_n=256,
+                                   precision=prec)
+    picked = D[np.arange(256), np.asarray(idx)]
+    assert np.allclose(picked, D.min(1), rtol=1e-3, atol=1e-3), (
+        f"pallas NN ({prec}) wrong on TPU")
+    print(f"TPU_SMOKE_NN_{prec.upper()}_OK", flush=True)
 
 s, d, T_gt = synthetic.two_scan_pair(n=512, seed=1, rot_scale=0.2, trans_scale=0.3)
 res = align(pcm.make(s, 512), pcm.make(d, 512),
@@ -40,27 +68,48 @@ print("TPU_SMOKE_OK")
 """
 
 
+def _tpu_env():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = env.pop("TPU_ICP_SLAM_AMBIENT_PLATFORM")
+    src_dir = os.path.join(_REPO, "src")
+    env["PYTHONPATH"] = src_dir + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _skip_loudly(reason: str):
+    with open(_MARKER, "w") as fh:
+        json.dump({"reason": reason, "time": time.time()}, fh)
+    pytest.skip(reason)
+
+
 @pytest.mark.skipif(
     "axon" not in os.environ.get("TPU_ICP_SLAM_AMBIENT_PLATFORM", ""),
     reason="no ambient TPU platform",
 )
 def test_pallas_and_icp_on_real_tpu():
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = env.pop("TPU_ICP_SLAM_AMBIENT_PLATFORM")
-    src_dir = os.path.join(os.path.dirname(__file__), "..", "src")
-    env["PYTHONPATH"] = src_dir + os.pathsep + env.get("PYTHONPATH", "")
-    # the tunnel's compile latency varies 10x with congestion (measured 23 s
-    # .. 224 s for this same script); a congested tunnel must not fail or
-    # stall the suite — the persistent compile cache usually absorbs repeats
+    env = _tpu_env()
+    # stage 1: pre-flight — a single trivial dispatch. If THIS can't finish,
+    # the tunnel (not our code) is the problem, and skipping is honest.
     try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _SCRIPT],
-            env=env,
-            capture_output=True,
-            text=True,
-            timeout=150,
+        pre = subprocess.run(
+            [sys.executable, "-c", _PREFLIGHT],
+            env=env, capture_output=True, text=True, timeout=180,
         )
     except subprocess.TimeoutExpired:
-        pytest.skip("TPU tunnel congested (>150s for the smoke script)")
+        _skip_loudly("TPU tunnel congested: pre-flight dispatch >180s")
+    if pre.returncode != 0:
+        _skip_loudly(
+            f"TPU pre-flight failed rc={pre.returncode}: {pre.stderr[-400:]}"
+        )
+    # stage 2: the real smoke with a long hard-fail budget. The persistent
+    # compile cache makes warm runs ~seconds; 540 s covers a cold compile on
+    # a slow tunnel — beyond that, with a healthy tunnel, it's OUR bug.
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        env=env, capture_output=True, text=True, timeout=540,
+    )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
     assert "TPU_SMOKE_OK" in proc.stdout
+    assert "TPU_SMOKE_NN_BF16_OK" in proc.stdout
+    if os.path.exists(_MARKER):  # healthy run clears the loud skip marker
+        os.remove(_MARKER)
