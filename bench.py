@@ -55,7 +55,10 @@ def _toy_scans():
     from tpu_icp_slam.core.pointcloud import voxel_downsample_np
     from tpu_icp_slam.datasets import synthetic
 
-    scans, _ = synthetic.velodyne_log(n_frames=FRAMES, n_rings=16, n_azimuth=512)
+    scans, _ = synthetic.velodyne_log(
+        n_frames=FRAMES, n_rings=16, n_azimuth=512,
+        path_fraction=min(1.0, FRAMES / 110.0),  # ~1.1 m/frame, see _kitti_scans
+    )
     return [voxel_downsample_np(s, 0.3) for s in scans]
 
 
@@ -63,8 +66,13 @@ def _kitti_scans():
     from tpu_icp_slam.core.pointcloud import voxel_downsample_np
     from tpu_icp_slam.datasets import synthetic
 
+    # path_fraction keeps inter-frame motion ~1.1 m/frame — the real KITTI
+    # regime (10 Hz, ~40 km/h). The r1 regime drove the full route in 30
+    # frames (~4 m/frame, 4x real speed), which nothing validated for
+    # accuracy; at that speed the pipeline can diverge (r2 A/B record).
     scans, _ = synthetic.velodyne_log(
-        n_frames=KITTI_FRAMES, n_rings=48, n_azimuth=1024
+        n_frames=KITTI_FRAMES, n_rings=48, n_azimuth=1024,
+        path_fraction=min(1.0, KITTI_FRAMES / 110.0),
     )
     return [voxel_downsample_np(s, 0.15) for s in scans]
 
@@ -82,6 +90,8 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             min_inliers=min_inl, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01,  # over-relaxed ICP: ~2.2x fewer
             # iterations at equal ATE (BASELINE.md)
+            nn_precision="bf16",  # r2 A/B winner: +53% fps at equal-order
+            # ATE (0.015 vs 0.008 m) — BASELINE.md precision A/B table
         ),
         mapping=MappingConfig(
             map_capacity=map_capacity, local_model_size=local_model,
@@ -160,12 +170,14 @@ def bench_cpu_golden(scans, n_frames) -> float:
 
 def _nn_flops_per_frame(cfg, mean_iters: float) -> float:
     """Analytic MXU work of the dominant kernel: the NN contraction inside
-    the ICP while_loop — 2·M·N·K per iteration (K=8 augmented lanes,
-    kernels/nn_pallas.py). Other work (GN accumulation, map ops) is ignored,
-    so this UNDERSTATES achieved FLOP/s — conservative for MFU."""
+    the ICP while_loop — 2·M·N·lanes·passes per iteration, matching the
+    kernel's own CostEstimate (kernels/nn_pallas.py: bf16 = 16 lanes x 1
+    pass; highest = 8 lanes x 6 passes). Other work (GN accumulation, map
+    ops) is ignored, so this UNDERSTATES achieved FLOP/s — conservative."""
     m = cfg.pipeline.scan_capacity
     n = cfg.mapping.local_model_size
-    return 2.0 * m * n * 8 * mean_iters
+    lanes, passes = (16, 1) if cfg.icp.nn_precision == "bf16" else (8, 6)
+    return 2.0 * m * n * lanes * passes * mean_iters
 
 
 def main() -> int:
