@@ -21,6 +21,12 @@ from typing import Any
 class ICPConfig:
     method: str = "point_to_point"  # point_to_point | point_to_plane | projective
     max_iters: int = 30
+    unroll_iters: int = 0  # >0: replace the while_loop with that many
+    # trace-time-unrolled iterations (convergence via state freezing).
+    # The axon backend charges ~1.2 ms of control-flow overhead PER
+    # while_loop iteration (BASELINE.md r2 floor measurement); straight-line
+    # code pays zero. Costs unroll_iters of kernel work unconditionally, so
+    # pick ~1.5x the typical converged iteration count.
     tol: float = 1e-6  # convergence: |rmse_prev - rmse| < tol
     tol_update: float = 0.0  # >0: also converge when the step's translation
     # magnitude drops below this (meters) — direct and noise-immune

@@ -207,5 +207,22 @@ def align_with_correspondence(
         jnp.full((k_twist,), 1e6, dtype),  # f_prev sentinel (first iter)
         jnp.zeros((k_twist,), dtype),
     )
-    T, rmse, _, iters, n_inl, converged, _, _ = lax.while_loop(cond, body, init)
+    if cfg.unroll_iters > 0:
+        # trace-time unrolled: straight-line code, no per-iteration control
+        # overhead (the axon backend charges ~1.2 ms per while_loop step even
+        # for a no-op body — BASELINE.md r2). Convergence still honored by
+        # freezing the carried state once `converged` goes true, so results
+        # match the while_loop whenever unroll_iters >= iterations needed.
+        state = init
+        for _ in range(cfg.unroll_iters):
+            done = state[5]
+            new_state = body(state)
+            state = tuple(
+                jnp.where(done, o, n) for n, o in zip(new_state, state)
+            )
+        T, rmse, _, iters, n_inl, converged, _, _ = state
+    else:
+        T, rmse, _, iters, n_inl, converged, _, _ = lax.while_loop(
+            cond, body, init
+        )
     return ICPResult(T=T, rmse=rmse, iters=iters, n_inliers=n_inl, converged=converged)

@@ -27,17 +27,30 @@ Precision modes (the r2 A/B, VERDICT r1 item 3):
   2. hi/lo lane packing — plain bf16 is still too coarse (score error
      ~|a|·|b|·2⁻⁹ ≈ metres² at 30 m extent, measured to mis-select by
      >1 m), so each coordinate splits Dekker-style into bf16 hi+lo halves
-     and the THREE cross products fold into one contraction:
-         ã = [-2a_hi, -2a_lo, -2a_hi],  b̃ = [b_hi, b_hi, b_lo]
-         ã·b̃ = -2(a_hi·b_hi + a_lo·b_hi + a_hi·b_lo) ≈ -2 a·b
-     dropping only the a_lo·b_lo term (~1e-2 m²). The MXU contraction is
-     128 lanes wide, so 9 used lanes (padded to 16) cost exactly the same
-     single pass as 3 — bf16x2 accuracy at 1-pass price, ~6× fewer MXU
-     passes than HIGHEST. The ‖b‖² term stays f32 on the VPU. Callers
-     recompute true residuals in f32 difference form from the returned
-     index (icp/loop.py), so only correspondence *selection* carries the
-     residual ~cm jitter — harmless to ICP's least-squares (measured:
-     BASELINE.md r2 A/B table).
+     and the cross products PLUS both squared-norm terms fold into one
+     contraction (13 lanes, padded to 16):
+         ã = [-2a_hi, -2a_lo, -2a_hi, ‖a‖²_hi, ‖a‖²_lo, 1, 1]
+         b̃ = [ b_hi,   b_hi,   b_lo,  1,       1,  ‖b‖²_hi, ‖b‖²_lo]
+         ã·b̃ ≈ ‖a‖² + ‖b‖² − 2 a·b = d²
+     dropping only lo·lo terms (~1e-2 m²). Emitting d² itself (not the
+     cross term) also removes the post-kernel ‖a‖² add and keeps the
+     score small near the decision point. The MXU contraction is 128
+     lanes wide — 13 lanes cost the same ONE pass as 3; ~6× fewer MXU
+     passes than HIGHEST.
+
+     CONFORMANCE CAVEAT (measured r2): under standard XLA semantics the
+     bf16 dot accumulates in f32 (verified at the XLA level on axon:
+     7.6e-6 max error) and this packing is near-exact — the CPU-interpret
+     tests hold ≤5 cm selection excess under a 500 m world offset. The
+     axon EMULATOR, however, accumulates Mosaic-lowered bf16 dots at
+     bf16 (error ≈ term·2⁻⁷·⁴ regardless of formulation), so on this
+     backend bf16 is an APPROXIMATE-selection mode (~0.1–0.6 m picked-
+     neighbor excess at KITTI extents). Kept as the perf-path default
+     anyway: callers recompute true residuals in f32 difference form
+     from the returned index (icp/loop.py), so only correspondence
+     *selection* jitters, and the measured end-to-end cost is ATE
+     0.0153 vs 0.0082 m for +53% frames/s (BASELINE.md r2 A/B). On
+     conformant hardware the mode is near-exact AND fast.
 
 Grid: (M/TM, N/TN) with the target axis innermost, so each output block is
 initialized at j == 0 and folded over all target tiles while resident in
@@ -160,11 +173,32 @@ def nn_bruteforce_pallas(
         b_hi = dst_p.astype(jnp.bfloat16)
         b_lo = (dst_p - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         two = jnp.bfloat16(-2.0)
-        a_aug = jnp.concatenate([two * a_hi, two * a_lo, two * a_hi], axis=1)
-        b_aug = jnp.concatenate([b_hi, b_hi, b_lo], axis=1)
+        # The norm terms ALSO ride the contraction (hi/lo split against a
+        # 1-lane), so the kernel's accumulator output is d² itself rather
+        # than the cross term: d² ≈ 0 exactly where selection is decided,
+        # so any RELATIVE rounding of the dot output (measured on the axon
+        # emulator: bf16-level rounding of the result, ~|e|·2⁻⁹, which
+        # corrupted the cross-term formulation by ±0.15 m) becomes harmless.
+        # bf16 products are exact in the f32 accumulator; the only absolute
+        # errors left are the dropped lo·lo terms (~1e-2 m² at 40 m extent).
+        a_sq32 = jnp.sum(src_p * src_p, axis=1, keepdims=True)
+        b_sq32 = jnp.sum(dst_p * dst_p, axis=1, keepdims=True)
+        asq_hi = a_sq32.astype(jnp.bfloat16)
+        asq_lo = (a_sq32 - asq_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        bsq_hi = b_sq32.astype(jnp.bfloat16)
+        bsq_lo = (b_sq32 - bsq_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ones_a = jnp.ones_like(asq_hi)
+        ones_b = jnp.ones_like(bsq_hi)
+        a_aug = jnp.concatenate(
+            [two * a_hi, two * a_lo, two * a_hi, asq_hi, asq_lo,
+             ones_a, ones_a], axis=1)
+        b_aug = jnp.concatenate(
+            [b_hi, b_hi, b_lo, ones_b, ones_b, bsq_hi, bsq_lo], axis=1)
         lanes = COORD_PAD_BF16
-        a_aug = jnp.pad(a_aug, ((0, 0), (0, lanes - 3 * dim)))
-        b_aug = jnp.pad(b_aug, ((0, 0), (0, lanes - 3 * dim)))
+        a_aug = jnp.pad(a_aug, ((0, 0), (0, lanes - (3 * dim + 4))))
+        b_aug = jnp.pad(b_aug, ((0, 0), (0, lanes - (3 * dim + 4))))
+        # the separate f32 ‖b‖² add is folded into the contraction here
+        b_sq = jnp.zeros_like(b_sq)
         mxu_precision = jax.lax.Precision.DEFAULT
         passes = 1
     else:
@@ -200,5 +234,9 @@ def nn_bruteforce_pallas(
         ),
         interpret=interpret,
     )(a_aug, b_aug, b_sq)
-    d2 = jnp.maximum(e_min[0, :m] + a_sq, 0.0)
+    if precision == "bf16":
+        # the contraction already produced d² (norm lanes folded in)
+        d2 = jnp.maximum(e_min[0, :m], 0.0)
+    else:
+        d2 = jnp.maximum(e_min[0, :m] + a_sq, 0.0)
     return idx[0, :m], d2

@@ -60,10 +60,15 @@ def knn_bruteforce_xla(
     k: int,
     chunk: int = 1024,
     precision=lax.Precision.HIGHEST,
+    approx: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest dst indices per src point: (M, k) idx, (M, k) dist_sq.
 
     Used by normal estimation on unorganized clouds (SURVEY.md §2b N8).
+    approx=True uses `lax.approx_min_k` (the TPU-optimized partial-reduce
+    top-k; ~0.95 recall) — a plane fit over 8 of the ~8.4 true nearest
+    neighbors is statistically the same plane, and exact `lax.top_k` is the
+    dominant cost of the keyframe normals path (r2 op-cost profile).
     """
     m = src.shape[0]
     dst_sq = jnp.sum(dst * dst, axis=-1)
@@ -72,7 +77,10 @@ def knn_bruteforce_xla(
         a_sq = jnp.sum(a * a, axis=-1)
         g = jnp.dot(a, dst.T, precision=precision)
         d = a_sq[:, None] + dst_sq[None, :] - 2.0 * g
-        neg_d, idx = lax.top_k(-d, k)
+        if approx:
+            neg_d, idx = lax.approx_max_k(-d, k)
+        else:
+            neg_d, idx = lax.top_k(-d, k)
         return idx.astype(jnp.int32), jnp.maximum(-neg_d, 0.0)
 
     if m <= chunk:

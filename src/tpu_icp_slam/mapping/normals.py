@@ -106,7 +106,7 @@ def normals_knn(
     Padded slots (mask False) get zero normals. Normals are oriented toward
     `viewpoint` (default: the origin, i.e. the sensor).
     """
-    idx, _ = knn_bruteforce_xla(points, points, k=k)
+    idx, _ = knn_bruteforce_xla(points, points, k=k, approx=True)
     nbrs = points[idx]  # (N, k, 3)
     mu = jnp.mean(nbrs, axis=1, keepdims=True)
     x = nbrs - mu

@@ -194,3 +194,30 @@ def test_align_anderson_acceleration():
     err_aa = float(np.abs(np.asarray(aa.T) - T_gt).max())
     assert err_aa < 1e-3, err_aa
     assert int(aa.iters) <= int(plain.iters) + 2
+
+
+def test_unrolled_matches_while_loop():
+    """unroll_iters: trace-time-unrolled ICP must match the while_loop
+    driver whenever the unroll budget covers the needed iterations (the
+    unrolled form exists because the axon backend charges ~1.2 ms of
+    control overhead per while_loop step — BASELINE.md r2)."""
+    import dataclasses
+
+    from tpu_icp_slam.config import ICPConfig
+    from tpu_icp_slam.core import pointcloud as pcm
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.icp import align
+
+    s, d, T_gt = synthetic.two_scan_pair(n=256, seed=7, rot_scale=0.15,
+                                         trans_scale=0.2)
+    base = ICPConfig(max_iters=25, tol=1e-6, nn_backend="xla")
+    res_w = align(pcm.make(s, 256), pcm.make(d, 256), cfg=base)
+    res_u = align(
+        pcm.make(s, 256), pcm.make(d, 256),
+        cfg=dataclasses.replace(base, unroll_iters=25),
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_u.T), np.asarray(res_w.T), rtol=1e-6, atol=1e-7
+    )
+    assert int(res_u.iters) == int(res_w.iters)
+    assert bool(res_u.converged) == bool(res_w.converged)
