@@ -112,15 +112,21 @@ def _kitti_cfg():
     return _cfg(16384, 131072, 16384, 0.2, 1.0, 100, 1.5)
 
 
-def bench_tpu(scans, cfg, trace=False):
-    """Returns (frames/s steady, compile_s, mean_icp_iters)."""
+def bench_tpu(scans, cfg, trace=False, mode=None):
+    """Returns (frames/s steady, compile_s, mean_icp_iters).
+
+    mode defaults to BENCH_MODE; the kitti regime pins "scan_to_map"
+    explicitly so its metric label, pipeline, and perf band always agree
+    (review r2: a BENCH_MODE=scan_to_scan run must not be band-checked
+    against the scan_to_map band)."""
     import jax
 
     from tpu_icp_slam.slam.runner import pad_scans
 
+    mode = mode or MODE
     cap = cfg.pipeline.scan_capacity
     pts, msk = pad_scans(scans, cap)
-    if MODE == "scan_to_map":
+    if mode == "scan_to_map":
         from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
         pipe = ScanToMapPipeline(cfg)
@@ -193,7 +199,9 @@ def main() -> int:
     if REGIME in ("kitti", "both"):
         scans = _kitti_scans()
         cfg = _kitti_cfg()
-        kitti_fps, compile_k, iters_k = bench_tpu(scans, cfg, trace=True)
+        kitti_fps, compile_k, iters_k = bench_tpu(
+            scans, cfg, trace=True, mode="scan_to_map"
+        )
         cpu_fps = bench_cpu_golden(scans, max(2, CPU_FRAMES // 2))
         flops = _nn_flops_per_frame(cfg, iters_k) * kitti_fps
         report.update({
@@ -260,7 +268,9 @@ def main() -> int:
                 ("scan_to_map_frames_per_s_per_chip_kitti_scale", kitti_fps)
             )
         if toy_fps is not None:
-            checks.append(("scan_to_map_frames_per_s_per_chip_sim3d", toy_fps))
+            # key follows BENCH_MODE: a scan_to_scan run gets its own band
+            # entry (or none), never the scan_to_map band
+            checks.append((f"{MODE}_frames_per_s_per_chip_sim3d", toy_fps))
         for name, val in checks:
             band = bands.get(name)
             if band:

@@ -450,6 +450,40 @@ class LoopDetector:
             )
         return out
 
+    def verify_keyframe_candidates(
+        self,
+        kf_idx: int,
+        query_points,
+        query_mask,
+        scans_pts,
+        scans_msk,
+        kf_frames: list,
+        kf_poses: list,
+        pose,
+    ):
+        """Candidate search + batched verification for one new keyframe.
+
+        The shared front-end hook used by Slam2D and Slam3D (their loops
+        were previously copy-pasted): gated candidates over the device
+        store, then ONE nested-vmap verify_batch dispatch with the
+        odometry-predicted relative poses as consistency gates. `kf_poses`
+        and `pose` use the same (d+1, d+1) convention as the scans (SE(2)
+        3x3 for 2D, SE(3) 4x4 for 3D). Returns (n_candidates, accepted
+        closures list).
+        """
+        cands = self.candidates(kf_idx)
+        if not cands:
+            return 0, []
+        mp = np.stack([scans_pts[kf_frames[c.match_idx]] for c in cands])
+        mm = np.stack([scans_msk[kf_frames[c.match_idx]] for c in cands])
+        T_preds = np.stack([
+            np.linalg.inv(kf_poses[c.match_idx]) @ pose for c in cands
+        ])
+        lcs = self.verify_batch(
+            cands, query_points, query_mask, mp, mm, T_preds=T_preds
+        )
+        return len(cands), [lc for lc in lcs if lc is not None]
+
     def relocalize(
         self,
         query_points,

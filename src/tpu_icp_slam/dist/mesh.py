@@ -80,12 +80,20 @@ def multihost_init(coordinator: Optional[str] = None) -> None:
     if already:
         log.debug("jax.distributed already initialized; multihost_init no-op")
         return
-    env_configured = any(
-        os.environ.get(k)
-        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    # Pod indicators beyond the explicit coordinator envs: on a real TPU pod
+    # slice `jax.distributed.initialize()` auto-detects the coordinator from
+    # the platform metadata, and these markers are what that environment
+    # exports — gating ONLY on JAX_COORDINATOR_ADDRESS would leave the
+    # auto-detection path unreachable and silently boot single-process
+    # (review r2).
+    pod_markers = (
+        "JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+        "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+        "TPU_WORKER_ID", "CLOUD_TPU_TASK_ID", "JAX_NUM_PROCESSES",
     )
+    env_configured = any(os.environ.get(k) for k in pod_markers)
     if coordinator is None and not env_configured:
-        log.debug("no coordinator configured; staying single-process")
+        log.debug("no coordinator/pod markers; staying single-process")
         return
     try:
         if coordinator is not None:

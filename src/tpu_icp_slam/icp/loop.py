@@ -215,7 +215,10 @@ def align_with_correspondence(
         # match the while_loop whenever unroll_iters >= iterations needed.
         state = init
         for _ in range(cfg.unroll_iters):
-            done = state[5]
+            # freeze on convergence OR the max_iters cap — same stopping
+            # rule as the while_loop cond (review r2: without the cap check
+            # the unrolled path iterated past max_iters)
+            done = jnp.logical_or(state[5], state[3] >= cfg.max_iters)
             new_state = body(state)
             state = tuple(
                 jnp.where(done, o, n) for n, o in zip(new_state, state)

@@ -237,3 +237,14 @@ def load_slam_checkpoint(path: str, cfg=None) -> dict:
         "closures": closures,
         "n_cands": int(data["n_cands"]),
     }
+
+
+def restore_slam_session(path: str, cfg, detector) -> dict:
+    """load_slam_checkpoint + restore the LoopDetector's keyframe store.
+
+    Shared by Slam2D/Slam3D resume so the detector-mutation detail lives in
+    one place (the device store re-syncs lazily on the next add_keyframe)."""
+    ck = load_slam_checkpoint(path, cfg)
+    detector._descs = [np.asarray(d) for d in ck["descs"]]
+    detector._positions = ck["positions"]
+    return ck

@@ -90,9 +90,9 @@ class Slam2D:
         closures: list[LoopClosure] = []
         n_cands = 0
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
-            from tpu_icp_slam.slam.checkpoint import load_slam_checkpoint
+            from tpu_icp_slam.slam.checkpoint import restore_slam_session
 
-            ck = load_slam_checkpoint(checkpoint_path, cfg)
+            ck = restore_slam_session(checkpoint_path, cfg, self.detector)
             state = ck["fe_state"]
             start = ck["next_frame"]
             poses_l = ck["poses"]
@@ -101,8 +101,6 @@ class Slam2D:
             anchor_kf = ck["anchor_kf"]
             closures = ck["closures"]
             n_cands = ck["n_cands"]
-            self.detector._descs = [np.asarray(d) for d in ck["descs"]]
-            self.detector._positions = ck["positions"]
         if state is None:
             if mode == "streaming":
                 state = (
@@ -131,24 +129,12 @@ class Slam2D:
                 kf_poses2.append(pose2)
                 if cfg.backend.enabled:
                     # one nested-vmap dispatch for all candidates
-                    cands = self.detector.candidates(kf_idx)
-                    if cands:
-                        n_cands += len(cands)
-                        mp = np.stack(
-                            [pts[kf_frames[c.match_idx]] for c in cands]
-                        )
-                        mm = np.stack(
-                            [msk[kf_frames[c.match_idx]] for c in cands]
-                        )
-                        T_preds = np.stack([
-                            np.linalg.inv(kf_poses2[c.match_idx]) @ pose2
-                            for c in cands
-                        ])
-                        for lc in self.detector.verify_batch(
-                            cands, pts[f], msk[f], mp, mm, T_preds=T_preds
-                        ):
-                            if lc is not None:
-                                closures.append(lc)
+                    n, lcs = self.detector.verify_keyframe_candidates(
+                        kf_idx, pts[f], msk[f], pts, msk,
+                        kf_frames, kf_poses2, pose2,
+                    )
+                    n_cands += n
+                    closures.extend(lcs)
             anchor_kf.append(len(kf_frames) - 1)
 
         if mode == "fused":

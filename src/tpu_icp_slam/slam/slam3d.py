@@ -78,9 +78,9 @@ class Slam3D:
         closures: list[LoopClosure] = []
         n_cands = 0
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
-            from tpu_icp_slam.slam.checkpoint import load_slam_checkpoint
+            from tpu_icp_slam.slam.checkpoint import restore_slam_session
 
-            ck = load_slam_checkpoint(checkpoint_path, cfg)
+            ck = restore_slam_session(checkpoint_path, cfg, self.detector)
             state = ck["fe_state"]
             start = ck["next_frame"]
             poses = ck["poses"]
@@ -89,8 +89,6 @@ class Slam3D:
             anchor_kf = ck["anchor_kf"]
             closures = ck["closures"]
             n_cands = ck["n_cands"]
-            self.detector._descs = [np.asarray(d) for d in ck["descs"]]
-            self.detector._positions = ck["positions"]
         if state is None:
             state = self.pipe.init_state(pts[0], msk[0])
             poses = [np.eye(4)]
@@ -109,24 +107,12 @@ class Slam3D:
             if cfg.backend.enabled:
                 # all candidates of this keyframe verify in ONE device
                 # dispatch (candidates × yaw-hypotheses nested vmap)
-                cands = self.detector.candidates(kf_idx)
-                if cands:
-                    n_cands += len(cands)
-                    mp = np.stack(
-                        [pts[kf_frames[c.match_idx]] for c in cands]
-                    )
-                    mm = np.stack(
-                        [msk[kf_frames[c.match_idx]] for c in cands]
-                    )
-                    T_preds = np.stack([
-                        np.linalg.inv(kf_poses[c.match_idx]) @ pose
-                        for c in cands
-                    ])
-                    for lc in self.detector.verify_batch(
-                        cands, pts[f], msk[f], mp, mm, T_preds=T_preds
-                    ):
-                        if lc is not None:
-                            closures.append(lc)
+                n, lcs = self.detector.verify_keyframe_candidates(
+                    kf_idx, pts[f], msk[f], pts, msk,
+                    kf_frames, kf_poses, pose,
+                )
+                n_cands += n
+                closures.extend(lcs)
 
         def save_ck(next_frame):
             from tpu_icp_slam.slam.checkpoint import save_slam_checkpoint

@@ -221,3 +221,26 @@ def test_unrolled_matches_while_loop():
     )
     assert int(res_u.iters) == int(res_w.iters)
     assert bool(res_u.converged) == bool(res_w.converged)
+
+
+def test_unrolled_honors_max_iters():
+    """unroll_iters > max_iters must still stop at max_iters (review r2)."""
+    import dataclasses
+
+    from tpu_icp_slam.config import ICPConfig
+    from tpu_icp_slam.core import pointcloud as pcm
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.icp import align
+
+    s, d, _ = synthetic.two_scan_pair(n=256, seed=8, rot_scale=0.15,
+                                      trans_scale=0.2)
+    base = ICPConfig(max_iters=5, tol=0.0, nn_backend="xla")  # never converges
+    res_w = align(pcm.make(s, 256), pcm.make(d, 256), cfg=base)
+    res_u = align(
+        pcm.make(s, 256), pcm.make(d, 256),
+        cfg=dataclasses.replace(base, unroll_iters=10),
+    )
+    assert int(res_u.iters) == int(res_w.iters) == 5
+    np.testing.assert_allclose(
+        np.asarray(res_u.T), np.asarray(res_w.T), rtol=1e-6, atol=1e-7
+    )
