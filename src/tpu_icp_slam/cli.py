@@ -87,6 +87,65 @@ def cmd_eval(args) -> int:
     return eval_from_cli(args)
 
 
+def cmd_localize(args) -> int:
+    """Global relocalization in a saved map (kidnapped-robot query)."""
+    import json
+
+    import numpy as np
+
+    from tpu_icp_slam.config import SlamConfig, from_json
+    from tpu_icp_slam.slam import map_io
+    from tpu_icp_slam.slam.runner import load_dataset, pad_scans
+
+    cfg = SlamConfig()
+    if args.config:
+        with open(args.config) as fh:
+            cfg = from_json(fh.read())
+    if getattr(args, "override_dict", None):
+        from tpu_icp_slam.config import override
+
+        cfg = override(cfg, args.override_dict)
+    saved = map_io.load_map(args.map, cfg.backend)
+    # query preprocessing must match what built the map: same log length
+    # (synthetic generators resample the route by frame count), same
+    # downsample voxel, same padded capacity
+    n_frames = args.frames if args.frames > 0 else max(args.frame + 1, 2)
+    data = load_dataset(args.dataset, n_frames)
+    scans = data.scans
+    if cfg.pipeline.downsample_voxel > 0:
+        from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+
+        scans = [
+            voxel_downsample_np(s, cfg.pipeline.downsample_voxel)
+            for s in scans
+        ]
+    cap = saved.kf_scans[0][0].shape[0]
+    pts, msk = pad_scans(scans, cap)
+    out = map_io.localize_in_map(
+        saved, pts[args.frame], msk[args.frame], topk=args.topk
+    )
+    report = {"map": args.map, "dataset": args.dataset, "frame": args.frame}
+    if out is None:
+        report["localized"] = False
+    else:
+        pose, match_idx, rmse = out
+        report.update(
+            localized=True,
+            match_keyframe=int(match_idx),
+            rmse=float(rmse),
+            pose=np.asarray(pose).tolist(),
+        )
+        if data.gt_poses is not None:
+            gt = data.gt_poses[args.frame]
+            gt_rel = np.linalg.inv(data.gt_poses[0]) @ gt
+            d = gt.shape[0] - 1
+            report["error_vs_gt_m"] = float(
+                np.linalg.norm(np.asarray(pose)[:d, d] - gt_rel[:d, d])
+            )
+    print(json.dumps(report, indent=2))
+    return 0 if report.get("localized") else 1
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="tpu-icp-slam")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -106,8 +165,24 @@ def build_parser() -> argparse.ArgumentParser:
     r.add_argument("--out", default="out", help="artifact directory")
     r.add_argument("--resume", action="store_true")
     r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--save-map", default=None, help="export the keyframe map "
+                   "(.npz) for later `localize` / multi-session use "
+                   "(3D backend path)")
     r.add_argument("overrides", nargs="*", help="dotted config overrides k=v")
     r.set_defaults(fn=cmd_run)
+
+    l = sub.add_parser(
+        "localize", help="globally relocalize a scan in a saved map"
+    )
+    l.add_argument("--map", required=True, help="map .npz from run --save-map")
+    l.add_argument("--dataset", default="sim3d", help="query scan source")
+    l.add_argument("--frame", type=int, default=0, help="query frame index")
+    l.add_argument("--frames", type=int, default=0,
+                   help="query log length (match the mapping run; 0 = frame+1)")
+    l.add_argument("--topk", type=int, default=3)
+    l.add_argument("--config", default=None, help="JSON config file")
+    l.add_argument("overrides", nargs="*", help="dotted config overrides k=v")
+    l.set_defaults(fn=cmd_localize)
 
     b = sub.add_parser("bench", help="frames/s benchmark harness")
     b.add_argument("--config-id", type=int, default=1, choices=[1, 2, 3, 4, 5])

@@ -50,8 +50,15 @@ def load_dataset(spec: str, frames: int, seed: int = 0) -> LoadedDataset:
         ]
         return LoadedDataset(scans=scans, gt_poses=log.gt_poses, dim=2, name="sim2d_loop")
     if spec in ("sim3d", "sim3d_loop"):
+        # pin inter-frame motion to ~1.1 m/frame (the KITTI 10 Hz regime):
+        # the generator resamples its fixed route by frame count, so short
+        # logs at path_fraction=1.0 move several m/frame — faster than any
+        # real sensor and untrackable by design (r2 regime fix). The loop
+        # route needs the full circuit to close, so it keeps fraction 1.
+        frac = 1.0 if spec.endswith("loop") else min(1.0, frames / 110.0)
         scans, poses = synthetic.velodyne_log(
-            n_frames=frames, seed=seed, loop=spec.endswith("loop")
+            n_frames=frames, seed=seed, loop=spec.endswith("loop"),
+            path_fraction=frac,
         )
         return LoadedDataset(scans=scans, gt_poses=poses, dim=3, name=spec)
     if spec == "simrgbd":
@@ -223,6 +230,7 @@ def run_slam(
     mode: str = "fused",
     checkpoint_every: int = 0,
     resume: bool = False,
+    save_map_path: Optional[str] = None,
 ):
     """Returns (poses (F, D+1, D+1) np.ndarray, report dict)."""
     if data.kind == "rgbd":
@@ -274,6 +282,23 @@ def run_slam(
                 render = lambda png: vmr.render_png(
                     slam.final_state.vmap, png, trajectory=poses[:, :3, 3]
                 )
+            if save_map_path:
+                # persistent map (slam/map_io.py): keyframe scans +
+                # (loop-corrected) poses + descriptors + voxel model, for
+                # later `cli localize` / multi-session work
+                from tpu_icp_slam.slam import map_io
+
+                kf_scans = [(pts[f], msk[f]) for f in slam.kf_frames]
+                map_io.save_map(
+                    save_map_path,
+                    kf_scans,
+                    np.stack(slam.kf_poses_out),
+                    vmap=(
+                        slam.final_state.vmap if slam.final_state else None
+                    ),
+                    detector=slam.detector,
+                )
+                report["map_file"] = save_map_path
             _write_artifacts(out_dir, poses, report, render)
             _finish(metrics_log, report)
             return poses, report
@@ -417,6 +442,7 @@ def run_from_cli(args) -> int:
         mode=mode,
         checkpoint_every=args.checkpoint_every,
         resume=args.resume,
+        save_map_path=getattr(args, "save_map", None),
     )
     print(json.dumps(report, indent=2))
     return 0

@@ -161,6 +161,11 @@ class Slam3D:
 
         poses = np.stack(poses)
         self.final_state = state  # exposes the voxel map for artifact renders
+        # persistent-map export hook (slam/map_io.py): keyframe scan indices
+        # + poses; kf_poses_out is overwritten with the optimized poses below
+        # when the backend runs
+        self.kf_frames = list(kf_frames)
+        self.kf_poses_out = [np.asarray(p) for p in kf_poses]
         report = SlamReport(
             n_frames=len(pts),
             n_keyframes=len(kf_frames),
@@ -217,6 +222,7 @@ class Slam3D:
                 huber_delta=cfg.backend.huber_delta,
             )
         kf_opt = np.asarray(graph_opt.poses)[: len(kf_poses)]
+        self.kf_poses_out = [kf_opt[i] for i in range(len(kf_poses))]
         report.chi2 = [float(c) for c in np.asarray(chis)]
 
         # ---- rigid per-frame correction relative to the anchor keyframe ----
