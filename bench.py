@@ -204,6 +204,18 @@ def main() -> int:
         )
         cpu_fps = bench_cpu_golden(scans, max(2, CPU_FRAMES // 2))
         flops = _nn_flops_per_frame(cfg, iters_k) * kitti_fps
+        # roofline credibility gate: implied FLOP/s above the chip's peak
+        # means the measurement is an enqueue rate, not an execution rate —
+        # exactly how round-1's numbers went wrong (BASELINE.md). Refuse to
+        # report it as a result.
+        if flops > V5E_PEAK_FLOPS:
+            print(json.dumps({
+                "error": "implausible_throughput",
+                "implied_tflops": round(flops / 1e12, 1),
+                "peak_tflops": round(V5E_PEAK_FLOPS / 1e12, 1),
+                "hint": "timing fence broken? see obs.realize / BASELINE.md",
+            }))
+            return 4
         report.update({
             "metric": "scan_to_map_frames_per_s_per_chip_kitti_scale",
             "value": round(kitti_fps, 3),
