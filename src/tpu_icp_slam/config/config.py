@@ -99,6 +99,14 @@ class BackendConfig:
     pg_iters: int = 10
     pg_damping: float = 1e-6
     huber_delta: float = 1.0
+    pcm_gamma: float = 0.5  # >0: pairwise-consistency maximization over
+    # accepted closures (largest mutually-consistent clique; Mangelson-style
+    # PCM, backend/pose_graph.pairwise_consistent_closures) — the principal
+    # back-end defense against perceptual-alias closures, robust to global
+    # drift because consistency cycles use only local odometry
+    reject_residual: float = 0.75  # >0: additionally drop loop factors
+    # whose residual at the first optimum exceeds this (twist norm), then
+    # re-optimize (backend/pose_graph.reject_inconsistent_loops)
     max_keyframes: int = 512
     max_factors: int = 2048
 

@@ -295,33 +295,85 @@ def aliased_world_segments(
         (x1, corridor_half_w + 4, x0, corridor_half_w + 4),
         (x0, corridor_half_w + 4, x0, -corridor_half_w - 4),
     ]
-    for b in range(n_bays):
-        bx = x0 + b * bay_len  # bay origin
-        for side in (-1.0, 1.0):
-            cw = side * corridor_half_w
-            # corridor wall with a centered door gap into the bay room
-            walls += [
-                (bx, cw, bx + bay_len * 0.35, cw),
-                (bx + bay_len * 0.65, cw, bx + bay_len, cw),
-            ]
-            # identical door-frame pillars
-            for px in (bx + bay_len * 0.35, bx + bay_len * 0.65):
-                walls += [
-                    (px, cw, px, cw + side * 0.3),
-                    (px, cw + side * 0.3, px + 0.2, cw + side * 0.3),
-                    (px + 0.2, cw + side * 0.3, px + 0.2, cw),
-                ]
-            # identical furniture box inside each room
-            fy0 = cw + side * 1.5
-            fy1 = cw + side * 2.5
-            fx0, fx1 = bx + bay_len * 0.42, bx + bay_len * 0.58
-            walls += [
-                (fx0, fy0, fx1, fy0), (fx1, fy0, fx1, fy1),
-                (fx1, fy1, fx0, fy1), (fx0, fy1, fx0, fy0),
-            ]
-            # room divider between bays
-            walls += [(bx, cw, bx, cw + side * 4)]
+    for side in (-1.0, 1.0):
+        _aliased_bays(walls, x0, n_bays, bay_len,
+                      wall_y=side * corridor_half_w, side=side)
     return np.asarray(walls, dtype=np.float64)
+
+
+def _aliased_bays(walls: list, x0: float, n_bays: float, bay_len: float,
+                  wall_y: float, side: float) -> None:
+    """Append one corridor wall at y=wall_y with identical bays opening to
+    `side` (+1 above / −1 below): door gaps, door-frame pillars, furniture
+    box, and bay dividers — the repeated structure that makes descriptors
+    alias."""
+    for b in range(int(n_bays)):
+        bx = x0 + b * bay_len
+        walls += [
+            (bx, wall_y, bx + bay_len * 0.35, wall_y),
+            (bx + bay_len * 0.65, wall_y, bx + bay_len, wall_y),
+        ]
+        for px in (bx + bay_len * 0.35, bx + bay_len * 0.65):
+            walls += [
+                (px, wall_y, px, wall_y + side * 0.3),
+                (px, wall_y + side * 0.3, px + 0.2, wall_y + side * 0.3),
+                (px + 0.2, wall_y + side * 0.3, px + 0.2, wall_y),
+            ]
+        fy0 = wall_y + side * 1.5
+        fy1 = wall_y + side * 2.5
+        fx0, fx1 = bx + bay_len * 0.42, bx + bay_len * 0.58
+        walls += [
+            (fx0, fy0, fx1, fy0), (fx1, fy0, fx1, fy1),
+            (fx1, fy1, fx0, fy1), (fx0, fy1, fx0, fy0),
+        ]
+        walls += [(bx, wall_y, bx, wall_y + side * 4)]
+
+
+def aliased_racetrack_segments(
+    n_bays: int = 5, bay_len: float = 8.0
+) -> np.ndarray:
+    """Loopable ALIASED world: two identical-bay corridors joined into a ring.
+
+    The out-and-back corridor (aliased_world_segments) cannot be soaked —
+    the 2D log generator derives heading from the path gradient, which flips
+    instantaneously at a reversal, so any U-turn breaks tracking by
+    construction. The racetrack keeps every turn at 90° (trackable) while
+    maximizing aliasing pressure: the bottom corridor's bays repeat along x
+    AND are duplicated exactly in the top corridor, so descriptor matches
+    exist both along-corridor (false), cross-corridor (false), and
+    same-bay-next-lap (true).
+
+    Geometry: outer rectangle (±(L/2+2+4), −6..18 with L = n_bays·bay_len
+    at default), inner island (±(L/2−2), 2..10), bays hanging off the
+    bottom (y=−2, opening down) and top (y=14, opening up) corridor walls.
+    Drive the centerline ring: (−L/2,0)→(L/2,0)→(L/2,12)→(−L/2,12)→loop.
+    """
+    L = n_bays * bay_len
+    xo = L / 2 + 4  # outer x
+    walls = [
+        # outer boundary
+        (-xo, -6, xo, -6), (xo, -6, xo, 18), (xo, 18, -xo, 18),
+        (-xo, 18, -xo, -6),
+        # inner island
+        (-(L / 2 - 2), 2, (L / 2 - 2), 2),
+        ((L / 2 - 2), 2, (L / 2 - 2), 10),
+        ((L / 2 - 2), 10, -(L / 2 - 2), 10),
+        (-(L / 2 - 2), 10, -(L / 2 - 2), 2),
+    ]
+    _aliased_bays(walls, -L / 2, n_bays, bay_len, wall_y=-2.0, side=-1.0)
+    _aliased_bays(walls, -L / 2, n_bays, bay_len, wall_y=14.0, side=1.0)
+    return np.asarray(walls, dtype=np.float64)
+
+
+def racetrack_waypoints(n_laps: int, half_len: float = 20.0) -> np.ndarray:
+    """Centerline ring waypoints for aliased_racetrack_segments, n_laps."""
+    lap = [(-half_len, 0.0), (half_len, 0.0), (half_len, 12.0),
+           (-half_len, 12.0)]
+    wp = []
+    for _ in range(n_laps):
+        wp.extend(lap)
+    wp.append(lap[0])
+    return np.asarray(wp)
 
 
 def crossing_pedestrian(

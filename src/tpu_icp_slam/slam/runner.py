@@ -274,6 +274,7 @@ def run_slam(
                 "n_keyframes": srep.n_keyframes,
                 "n_loop_candidates": srep.n_loop_candidates,
                 "n_loop_closures": srep.n_loop_closures,
+                "n_loops_rejected": srep.n_loops_rejected,
             })
             render = None
             if slam.final_state is not None:
@@ -324,6 +325,7 @@ def run_slam(
             "n_keyframes": srep.n_keyframes,
             "n_loop_candidates": srep.n_loop_candidates,
             "n_loop_closures": srep.n_loop_closures,
+            "n_loops_rejected": srep.n_loops_rejected,
         })
 
         def render(png):

@@ -187,6 +187,11 @@ class Slam2D:
                     save_ck(f + 1)
             poses = np.stack(poses_l)
 
+        # introspection/export hooks (mirrors Slam3D): keyframe schedule and
+        # accepted closures survive the run for analysis/map export
+        self.kf_frames = list(kf_frames)
+        self.kf_poses_out = [np.asarray(p) for p in kf_poses2]
+        self.closures = list(closures)
         report = SlamReport(
             n_frames=len(pts),
             n_keyframes=len(kf_frames),
@@ -200,6 +205,16 @@ class Slam2D:
         import jax.numpy as jnp
 
         kf3 = np.stack([_to3(T) for T in kf_poses2])
+        if cfg.backend.pcm_gamma > 0 and len(closures) > 1:
+            # PCM clique filter (see Slam3D); closures lift to SE(3)
+            keep = pg.pairwise_consistent_closures(
+                kf3, [(lc.i, lc.j, _to3(lc.T_ij)) for lc in closures],
+                gamma=cfg.backend.pcm_gamma,
+            )
+            report.n_loops_rejected += int((~keep).sum())
+            closures = [lc for lc, k in zip(closures, keep) if k]
+            if not closures:
+                return poses, report
         factors = []
         for k in range(1, len(kf3)):
             rel = np.linalg.inv(kf3[k - 1]) @ kf3[k]
@@ -207,6 +222,21 @@ class Slam2D:
         for lc in closures:
             factors.append((lc.i, lc.j, _to3(lc.T_ij), 2.0))
         graph = pg.from_arrays(kf3, factors, dtype=jnp.float64)
+        if cfg.backend.reject_residual > 0:
+            # residual-gated rejection of aliased closures (see Slam3D /
+            # pose_graph.reject_inconsistent_loops)
+            loop_mask = np.zeros(graph.factor_capacity, bool)
+            n_odo = len(kf3) - 1
+            loop_mask[n_odo: n_odo + len(closures)] = True
+            kept, n_rej = pg.reject_inconsistent_loops(
+                graph, loop_mask, cfg.backend.reject_residual,
+                iters=cfg.backend.pg_iters,
+                damping=cfg.backend.pg_damping,
+                huber_delta=cfg.backend.huber_delta,
+            )
+            if n_rej:
+                graph = dataclasses.replace(graph, weight=kept)
+                report.n_loops_rejected = n_rej
         graph_opt, chis = pg.optimize(
             graph,
             iters=cfg.backend.pg_iters,

@@ -33,6 +33,7 @@ class SlamReport:
     n_loop_candidates: int
     n_loop_closures: int
     chi2: Optional[list] = None
+    n_loops_rejected: int = 0  # residual-gated back-end rejections
 
 
 class Slam3D:
@@ -166,6 +167,7 @@ class Slam3D:
         # when the backend runs
         self.kf_frames = list(kf_frames)
         self.kf_poses_out = [np.asarray(p) for p in kf_poses]
+        self.closures = list(closures)
         report = SlamReport(
             n_frames=len(pts),
             n_keyframes=len(kf_frames),
@@ -177,6 +179,17 @@ class Slam3D:
 
         # ---- pose graph over keyframes: odometry chain + loop factors ----
         kf_poses = np.stack(kf_poses)
+        if cfg.backend.pcm_gamma > 0 and len(closures) > 1:
+            # pairwise-consistency maximization: keep the largest mutually
+            # consistent closure clique (aliases agree with almost nothing)
+            keep = pg.pairwise_consistent_closures(
+                kf_poses, [(lc.i, lc.j, lc.T_ij) for lc in closures],
+                gamma=cfg.backend.pcm_gamma,
+            )
+            report.n_loops_rejected += int((~keep).sum())
+            closures = [lc for lc, k in zip(closures, keep) if k]
+            if not closures:
+                return poses, report
         factors = []
         for k in range(1, len(kf_poses)):
             rel = np.linalg.inv(kf_poses[k - 1]) @ kf_poses[k]
@@ -194,6 +207,26 @@ class Slam3D:
             max_factors=min(max(len(factors), 2), cfg.backend.max_factors),
             dtype=jnp.float64,
         )
+        if cfg.backend.reject_residual > 0:
+            # back-end defense against aliased closures that slip the
+            # front-end gates: residual-gated re-optimization (pose_graph.
+            # reject_inconsistent_loops) — runs on the dense oracle, then
+            # the chosen solver (dense or distributed Schur) sees the
+            # cleaned weights
+            import dataclasses as _dc
+
+            n_odo = len(kf_poses) - 1
+            loop_mask = np.zeros(graph.factor_capacity, bool)
+            loop_mask[n_odo: n_odo + len(closures)] = True
+            kept, n_rej = pg.reject_inconsistent_loops(
+                graph, loop_mask, cfg.backend.reject_residual,
+                iters=cfg.backend.pg_iters,
+                damping=cfg.backend.pg_damping,
+                huber_delta=cfg.backend.huber_delta,
+            )
+            if n_rej:
+                graph = _dc.replace(graph, weight=kept)
+                report.n_loops_rejected = n_rej
         import math
 
         n_blocks = math.prod(cfg.dist.mesh_shape)

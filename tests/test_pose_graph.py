@@ -89,3 +89,77 @@ def test_residual_convention():
     g = pg.from_arrays(np.stack([Xi, Xj]), [(0, 1, T, 1.0)], dtype=jnp.float64)
     r = np.asarray(pg.residuals(g))
     np.testing.assert_allclose(r[0], 0.0, atol=1e-12)
+
+
+def _drifty_chain(rng, n):
+    poses_gt = [np.eye(4)]
+    odo = [np.eye(4)]
+    factors = []
+    for i in range(1, n):
+        rel = synthetic.rigid_transform(3, rng, rot_scale=0.1, trans_scale=1.0)
+        poses_gt.append(poses_gt[-1] @ rel)
+        noise = synthetic.rigid_transform(3, rng, rot_scale=0.02,
+                                          trans_scale=0.05)
+        odo.append(odo[-1] @ rel @ noise)
+        factors.append((i - 1, i, rel @ noise, 1.0))
+    return poses_gt, odo, factors
+
+
+def test_pcm_keeps_true_clique_drops_alias():
+    """PCM: three mutually consistent true loops outvote a 5 m alias (the
+    r2 racetrack-soak leak — front-end gates alone let aliases through once
+    global drift exceeds the alias spacing)."""
+    rng = np.random.default_rng(4)
+    n = 12
+    poses_gt, odo, _ = _drifty_chain(rng, n)
+    def rel_gt(i, j):
+        return np.linalg.inv(poses_gt[i]) @ poses_gt[j]
+    closures = [
+        (0, n - 1, rel_gt(0, n - 1)),
+        (1, n - 1, rel_gt(1, n - 1)),
+        (0, n - 2, rel_gt(0, n - 2)),
+    ]
+    T_false = rel_gt(1, n - 2).copy()
+    T_false[:3, 3] += np.asarray([5.0, 0.0, 0.0])
+    closures.append((1, n - 2, T_false))
+    keep = pg.pairwise_consistent_closures(np.stack(odo), closures, gamma=0.5)
+    assert keep.tolist() == [True, True, True, False], keep
+
+
+def test_pcm_all_true_kept():
+    rng = np.random.default_rng(5)
+    n = 10
+    poses_gt, odo, _ = _drifty_chain(rng, n)
+    closures = [
+        (i, j, np.linalg.inv(poses_gt[i]) @ poses_gt[j])
+        for i, j in [(0, 9), (1, 9), (0, 8), (2, 7)]
+    ]
+    keep = pg.pairwise_consistent_closures(np.stack(odo), closures, gamma=0.5)
+    assert keep.all(), keep
+
+
+def test_reject_inconsistent_loops_gross_error():
+    """Residual gate (2nd line of defense): a closure wrong by 20 m cannot
+    be smeared into the chain — its residual at the optimum stays large."""
+    import dataclasses
+
+    rng = np.random.default_rng(4)
+    n = 12
+    poses_gt, odo, factors = _drifty_chain(rng, n)
+    n_odo = len(factors)
+    T_true = np.linalg.inv(poses_gt[0]) @ poses_gt[-1]
+    factors.append((0, n - 1, T_true, 2.0))
+    T_false = (np.linalg.inv(poses_gt[1]) @ poses_gt[-2]).copy()
+    T_false[:3, 3] += np.asarray([20.0, 0.0, 0.0])
+    factors.append((1, n - 2, T_false, 2.0))
+
+    g = pg.from_arrays(np.stack(odo), factors, dtype=jnp.float64)
+    loop_mask = np.zeros(g.factor_capacity, bool)
+    loop_mask[n_odo:] = True
+    kept, n_rej = pg.reject_inconsistent_loops(
+        g, loop_mask, reject_residual=0.75, iters=10, damping=1e-6,
+        huber_delta=1.0,
+    )
+    kept = np.asarray(kept)
+    assert n_rej >= 1
+    assert kept[n_odo + 1] == 0, "gross false loop survived"
