@@ -89,6 +89,7 @@ class Slam2D:
         anchor_kf: list = []
         closures: list[LoopClosure] = []
         n_cands = 0
+        self.closures_kept: list = []
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from tpu_icp_slam.slam.checkpoint import restore_slam_session
 
@@ -236,7 +237,13 @@ class Slam2D:
             )
             if n_rej:
                 graph = dataclasses.replace(graph, weight=kept)
-                report.n_loops_rejected = n_rej
+                report.n_loops_rejected += n_rej
+                kept_np = np.asarray(kept)
+                closures = [
+                    lc for k, lc in enumerate(closures)
+                    if kept_np[n_odo + k] > 0
+                ]
+        self.closures_kept = list(closures)  # post-filter factors
         graph_opt, chis = pg.optimize(
             graph,
             iters=cfg.backend.pg_iters,

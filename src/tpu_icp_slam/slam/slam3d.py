@@ -78,6 +78,7 @@ class Slam3D:
         anchor_kf: list = []
         closures: list[LoopClosure] = []
         n_cands = 0
+        self.closures_kept: list = []
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from tpu_icp_slam.slam.checkpoint import restore_slam_session
 
@@ -226,7 +227,13 @@ class Slam3D:
             )
             if n_rej:
                 graph = _dc.replace(graph, weight=kept)
-                report.n_loops_rejected = n_rej
+                report.n_loops_rejected += n_rej
+                kept_np = np.asarray(kept)
+                closures = [
+                    lc for k, lc in enumerate(closures)
+                    if kept_np[n_odo + k] > 0
+                ]
+        self.closures_kept = list(closures)  # post-filter factors
         import math
 
         n_blocks = math.prod(cfg.dist.mesh_shape)
