@@ -335,6 +335,17 @@ def run_slam(
             grid = slam.rebuild_grid(poses, pts, msk)
             occupancy2d.render_png(grid, png, trajectory=poses[:, :2, 2])
 
+        if save_map_path:
+            # 2D persistent map: keyframe scans + SE(2) poses + descriptors
+            # (map_io handles both 3x3 and 4x4 pose conventions)
+            from tpu_icp_slam.slam import map_io
+
+            kf_scans = [(pts[f], msk[f]) for f in slam.kf_frames]
+            map_io.save_map(
+                save_map_path, kf_scans, np.stack(slam.kf_poses_out),
+                detector=slam.detector,
+            )
+            report["map_file"] = save_map_path
         _write_artifacts(out_dir, poses, report, render)
         _finish(metrics_log, report)
         return poses, report

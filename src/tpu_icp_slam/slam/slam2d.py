@@ -253,6 +253,7 @@ class Slam2D:
         kf_opt2 = np.stack(
             [_to2(T) for T in np.asarray(graph_opt.poses)[: len(kf3)]]
         )
+        self.kf_poses_out = [kf_opt2[i] for i in range(len(kf3))]
         report.chi2 = [float(c) for c in np.asarray(chis)]
 
         out = np.empty_like(poses)

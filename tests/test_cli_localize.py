@@ -41,3 +41,25 @@ def test_run_save_map_then_localize(tmp_path, capsys):
     # sim3d frame 6 sits on the mapped route: the recovered world pose must
     # land near the ground-truth position (generous bound — coarse map)
     assert rep["error_vs_gt_m"] < 3.0, rep
+
+
+def test_run_save_map_then_localize_2d(tmp_path, capsys):
+    """Same persistent-map flow on the 2D family (SE(2) poses in the map)."""
+    out = tmp_path / "run2d"
+    map_file = tmp_path / "map2d.npz"
+    rc = cli.main([
+        "run", "--dataset", "sim2d", "--frames", "30",
+        "--out", str(out), "--save-map", str(map_file),
+        "pipeline.scan_capacity=256", "pipeline.keyframe_trans=0.8",
+        "icp.max_iters=20", "icp.max_corr_dist=1.0", "icp.nn_backend=xla",
+        "backend.enabled=true", "backend.min_loop_separation=6",
+    ])
+    capsys.readouterr()
+    assert rc == 0 and map_file.exists()
+    rc = cli.main([
+        "localize", "--map", str(map_file), "--dataset", "sim2d",
+        "--frame", "15", "--frames", "30",
+    ])
+    rep = json.loads(capsys.readouterr().out)
+    assert rc == 0 and rep["localized"], rep
+    assert rep["error_vs_gt_m"] < 2.0, rep
