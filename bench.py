@@ -174,16 +174,26 @@ def bench_cpu_golden(scans, n_frames) -> float:
     return (len(sub) - 1) / dt
 
 
-def _nn_flops_per_frame(cfg, mean_iters: float) -> float:
+def _nn_flops_per_frame(cfg, mean_iters: float) -> tuple[float, float]:
     """Analytic MXU work of the dominant kernel: the NN contraction inside
-    the ICP while_loop — 2·M·N·lanes·passes per iteration, matching the
-    kernel's own CostEstimate (kernels/nn_pallas.py: bf16 = 16 lanes x 1
-    pass; highest = 8 lanes x 6 passes). Other work (GN accumulation, map
-    ops) is ignored, so this UNDERSTATES achieved FLOP/s — conservative."""
+    the ICP while_loop. Returns (kernel_flops, useful_flops) per frame:
+
+    - kernel_flops: what the MXU actually executes — 2·M·N·lanes·passes,
+      matching the kernel's CostEstimate (bf16 = 16 lanes x 1 pass; highest
+      = 8 lanes x 6 passes). Padded lanes and precision passes included;
+      this drives the roofline credibility gate (it is what the chip must
+      physically sustain).
+    - useful_flops: the algorithmic work — 2·M·N·D (D=3 coordinates) per
+      iteration; this drives mfu_pct so utilization is not inflated by lane
+      padding or multi-pass precision (ADVICE r2).
+
+    Other work (GN accumulation, map ops) is ignored in both — conservative."""
     m = cfg.pipeline.scan_capacity
     n = cfg.mapping.local_model_size
     lanes, passes = (16, 1) if cfg.icp.nn_precision == "bf16" else (8, 6)
-    return 2.0 * m * n * lanes * passes * mean_iters
+    kernel = 2.0 * m * n * lanes * passes * mean_iters
+    useful = 2.0 * m * n * 3 * mean_iters
+    return kernel, useful
 
 
 def main() -> int:
@@ -203,7 +213,9 @@ def main() -> int:
             scans, cfg, trace=True, mode="scan_to_map"
         )
         cpu_fps = bench_cpu_golden(scans, max(2, CPU_FRAMES // 2))
-        flops = _nn_flops_per_frame(cfg, iters_k) * kitti_fps
+        kflops, uflops = _nn_flops_per_frame(cfg, iters_k)
+        flops = kflops * kitti_fps  # executed kernel FLOP/s (roofline gate)
+        useful = uflops * kitti_fps  # algorithmic FLOP/s (MFU)
         # roofline credibility gate: implied FLOP/s above the chip's peak
         # means the measurement is an enqueue rate, not an execution rate —
         # exactly how round-1's numbers went wrong (BASELINE.md). Refuse to
@@ -228,8 +240,12 @@ def main() -> int:
             "points_per_scan": 16384,
             "map_points": 131072,
             "mean_icp_iters": round(iters_k, 2),
-            "achieved_tflops": round(flops / 1e12, 2),
-            "mfu_pct": round(100.0 * flops / V5E_PEAK_FLOPS, 2),
+            # kernel_tflops = executed MXU work incl. padded lanes/precision
+            # passes; mfu_pct = useful algorithmic work (2·M·N·3·iters) over
+            # peak — the honest utilization figure (ADVICE r2)
+            "kernel_tflops": round(flops / 1e12, 2),
+            "achieved_tflops": round(useful / 1e12, 2),
+            "mfu_pct": round(100.0 * useful / V5E_PEAK_FLOPS, 2),
             "compile_s": round(compile_k, 1),
         })
     if REGIME in ("toy", "both"):

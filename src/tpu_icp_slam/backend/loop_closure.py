@@ -298,8 +298,9 @@ class LoopDetector:
         lo = query_idx - self.cfg.min_loop_separation
         if lo <= 0:
             return []
-        if self._descs_dev is None or self._n_dev < len(self._descs):
-            # store out of sync (e.g. detector state restored by hand)
+        if self._descs_dev is None or self._n_dev != len(self._descs):
+            # store out of sync (e.g. detector state restored by hand);
+            # `!=` not `<`: a restore can SHRINK the host lists too (ADVICE r2)
             self._sync_device_store()
         qpos_np = self._positions[query_idx]
         qpos = jnp.asarray(
@@ -405,25 +406,38 @@ class LoopDetector:
         s_sec = self.cfg.descriptor_sectors
         if query_desc is None:
             query_desc = self._descs[cands[0].query_idx]
-        if self._descs_dev is None or self._n_dev < len(self._descs):
+        if self._descs_dev is None or self._n_dev != len(self._descs):
             self._sync_device_store()
         d = int(np.asarray(query_points).shape[1])
+        qp = jnp.asarray(query_points, jnp.float32)
+        qm = jnp.asarray(query_mask)
+        qd = jnp.asarray(query_desc, jnp.float32)
+        mp_all = jnp.asarray(match_points, jnp.float32)
+        mm_all = jnp.asarray(match_mask)
         midx = jnp.asarray([c.match_idx for c in cands], jnp.int32)
-        fine = _batched_verify(
-            jnp.asarray(query_points, jnp.float32),
-            jnp.asarray(query_mask),
-            jnp.asarray(match_points, jnp.float32),
-            jnp.asarray(match_mask),
-            jnp.asarray(query_desc, jnp.float32),
-            self._descs_dev[midx],
-            cfg_coarse=self.icp_coarse,
-            cfg_fine=self.icp_fine,
-            sectors=s_sec,
-            dim=d,
-        )
-        rmses = np.asarray(fine.rmse, np.float64)  # (C, Y)
-        inls = np.asarray(fine.n_inliers)  # (C, Y)
-        Ts = np.asarray(fine.T, np.float64)  # (C, Y, d+1, d+1)
+        # chunk the candidate axis: transient NN buffers inside the nested
+        # vmap scale ~C x, which at 16k scan capacity would OOM with all
+        # topk candidates in one program (ADVICE r2). Chunk sizes retrace at
+        # most twice (full chunk + remainder).
+        chunk = self.cfg.verify_chunk or len(cands)
+        rm_l, in_l, t_l = [], [], []
+        for c0 in range(0, len(cands), chunk):
+            c1 = min(c0 + chunk, len(cands))
+            fine = _batched_verify(
+                qp, qm,
+                mp_all[c0:c1], mm_all[c0:c1],
+                qd, self._descs_dev[midx[c0:c1]],
+                cfg_coarse=self.icp_coarse,
+                cfg_fine=self.icp_fine,
+                sectors=s_sec,
+                dim=d,
+            )
+            rm_l.append(np.asarray(fine.rmse, np.float64))
+            in_l.append(np.asarray(fine.n_inliers))
+            t_l.append(np.asarray(fine.T, np.float64))
+        rmses = np.concatenate(rm_l)  # (C, Y)
+        inls = np.concatenate(in_l)  # (C, Y)
+        Ts = np.concatenate(t_l)  # (C, Y, d+1, d+1)
         n_valid = int(np.asarray(query_mask).sum())
         ok = (rmses <= self.cfg.verify_max_rmse) & (
             inls >= 0.3 * max(n_valid, 1)

@@ -199,6 +199,67 @@ def optimize(
     return g_out, chis
 
 
+def closure_cycle_matrix(odo_poses, closures):
+    """(m, m) PCM cycle norms between all closure pairs.
+
+    cyc[a, b] = ‖log(Ta⁻¹ · odo(i_a→i_b) · Tb · odo(j_b→j_a))‖ — the twist
+    norm of the loop formed by two closures and the odometry between their
+    endpoints. Near zero when both closures agree with the local odometry;
+    metre-scale when one of them is a perceptual alias.
+    """
+    import numpy as np
+
+    odo = jnp.asarray(np.stack([np.asarray(p) for p in odo_poses]))
+    ii = np.asarray([c[0] for c in closures])
+    jj = np.asarray([c[1] for c in closures])
+    T = jnp.asarray(np.stack([np.asarray(c[2]) for c in closures]))
+
+    @jax.jit
+    def cycle_norms(odo_, T_):
+        Xi = odo_[ii]
+        Xj = odo_[jj]
+        Tinv = se3.inverse(T_)
+        # odo(i_a -> i_b) = Xi_a⁻¹ Xi_b ; odo(j_b -> j_a) = Xj_b⁻¹ Xj_a
+        A = jnp.einsum("aij,bjk->abik", se3.inverse(Xi), Xi)  # (m, m, 4, 4)
+        B = jnp.einsum("bij,ajk->abik", se3.inverse(Xj), Xj)
+        E = jnp.einsum(
+            "aij,abjk,bkl,ablm->abim", Tinv, A, T_, B
+        )
+        return jnp.linalg.norm(
+            jax.vmap(jax.vmap(se3.log))(E), axis=-1
+        )  # (m, m)
+
+    return np.asarray(cycle_norms(odo, T))
+
+
+def closure_confidence(odo_poses, closures, suspect_cycle: float = 1.0):
+    """Per-closure consistency score + suspect flag (VERDICT r2 item 9).
+
+    score[a] = median over b≠a of the PCM cycle norm cyc[a, b] — how well
+    closure a agrees with the REST of the accepted closure set through local
+    odometry. True closures sit at centimetre scores; a front-end-captured
+    alias (the measured r2 racetrack wall: closures wrong by 8–16 m that
+    survive every consistency FILTER because the drift-aware thresholds must
+    admit them) still carries a metre-scale score — the filters can't reject
+    it, but consumers of the map deserve to see it. `suspect` flags scores
+    above `suspect_cycle` (metres-equivalent twist norm).
+
+    Returns (score (m,) float, suspect (m,) bool). m==1 → score nan,
+    suspect False (no peers to check against — unknown, not bad).
+    """
+    import numpy as np
+
+    m = len(closures)
+    if m == 0:
+        return np.zeros(0), np.zeros(0, bool)
+    if m == 1:
+        return np.full(1, np.nan), np.zeros(1, bool)
+    cyc = closure_cycle_matrix(odo_poses, closures)
+    off = cyc + np.diag(np.full(m, np.nan))
+    score = np.nanmedian(off, axis=1)
+    return score, score > suspect_cycle
+
+
 def pairwise_consistent_closures(
     odo_poses,
     closures,  # list of (i, j, T_ij (4,4))
@@ -229,22 +290,7 @@ def pairwise_consistent_closures(
     jj = np.asarray([c[1] for c in closures])
     T = jnp.asarray(np.stack([np.asarray(c[2]) for c in closures]))
 
-    @jax.jit
-    def cycle_norms(odo_, T_):
-        Xi = odo_[ii]
-        Xj = odo_[jj]
-        Tinv = se3.inverse(T_)
-        # odo(i_a -> i_b) = Xi_a⁻¹ Xi_b ; odo(j_b -> j_a) = Xj_b⁻¹ Xj_a
-        A = jnp.einsum("aij,bjk->abik", se3.inverse(Xi), Xi)  # (m, m, 4, 4)
-        B = jnp.einsum("bij,ajk->abik", se3.inverse(Xj), Xj)
-        E = jnp.einsum(
-            "aij,abjk,bkl,ablm->abim", Tinv, A, T_, B
-        )
-        return jnp.linalg.norm(
-            jax.vmap(jax.vmap(se3.log))(E), axis=-1
-        )  # (m, m)
-
-    cyc = np.asarray(cycle_norms(odo, T))
+    cyc = closure_cycle_matrix(odo_poses, closures)
     # drift-aware threshold: the cycle's odometry legs span |i_a−i_b| and
     # |j_a−j_b| keyframes, and odometry error grows ~√steps (random-walk
     # model — full PCM uses the propagated covariance; this is its scalar

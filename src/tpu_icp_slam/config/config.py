@@ -65,6 +65,11 @@ class MappingConfig:
     map_capacity: int = 65536  # max points in the global map
     local_model_size: int = 16384  # points extracted for scan-to-map ICP
     map_voxel: float = 0.4  # dedup voxel size (meters)
+    extract_hysteresis: float = 0.0  # >0: reuse the carried local model
+    # until the predicted sensor moved this far from the extraction center
+    # (or a keyframe changed the map) instead of re-extracting every frame.
+    # The coverage gate shrinks by the staleness offset, so correctness is
+    # preserved; saves the ~1.4 ms top_k on most frames (r3 SOL decomp).
 
 
 @dataclasses.dataclass(frozen=True)
@@ -109,6 +114,14 @@ class BackendConfig:
     # re-optimize (backend/pose_graph.reject_inconsistent_loops)
     max_keyframes: int = 512
     max_factors: int = 2048
+    suspect_cycle: float = 1.0  # metres-equivalent PCM cycle score above
+    # which an ACCEPTED closure is flagged suspect in reports/saved maps —
+    # aliases the whole graph agrees on can't be rejected (DESIGN.md §13)
+    # but must be visible to map consumers (VERDICT r2 item 9)
+    verify_chunk: int = 4  # candidates verified per device dispatch: the
+    # (candidates x 8 yaw hypotheses) nested-vmap ICP grows transient NN
+    # buffers ~linearly in C, which OOMs at 16k-point scan capacity if all
+    # topk candidates launch at once (ADVICE r2); 0 = unchunked
 
 
 @dataclasses.dataclass(frozen=True)

@@ -13,6 +13,8 @@ import jax.numpy as jnp
 
 from tpu_icp_slam.kernels.nn_xla import nn_bruteforce_xla
 
+_warned_precision_ignored = False
+
 
 def _on_tpu() -> bool:
     try:
@@ -48,5 +50,19 @@ def nearest_neighbor(
             kw["tile_n"] = tile_n
         return nn_bruteforce_pallas(src, dst, **kw)
     if backend == "xla":
+        if precision != "highest":
+            # bf16 mode exists only in the Pallas kernel; running the f32
+            # fallback silently would make cross-backend A/B comparisons
+            # vacuous (ADVICE r2) — warn once, loudly.
+            global _warned_precision_ignored
+            if not _warned_precision_ignored:
+                _warned_precision_ignored = True
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "nn_precision=%r requested but nn backend resolved to "
+                    "'xla' (f32 only) — the precision setting is ignored on "
+                    "this backend", precision,
+                )
         return nn_bruteforce_xla(src, dst, chunk=chunk)
     raise ValueError(f"unknown NN backend: {backend}")

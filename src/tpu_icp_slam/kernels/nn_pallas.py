@@ -130,9 +130,11 @@ def nn_bruteforce_pallas(
     off). dist_sq comes from the factored form: recompute in difference form
     where f32 cancellation matters (icp.loop does).
 
-    Tile defaults are the measured optimum of the fused scan-to-map pipeline
-    on the axon v5e (512×4096: 31.7k fps, 1024×8192: 39.8k fps, 2048×8192:
-    33.4k, 4096×8192: VMEM OOM at the 16 MB scoped limit).
+    Tile defaults (1024×8192) come from the r3 honest sweep at the headline
+    16,384×131,072 regime with the obs.realize fence — see the tile table in
+    BASELINE.md. (The r1 sweep numbers previously cited here were enqueue
+    rates and were formally invalidated; 4096×8192 VMEM-OOMs at the 16 MB
+    scoped limit, which still bounds tile_m·tile_n.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"

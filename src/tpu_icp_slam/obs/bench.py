@@ -176,8 +176,30 @@ def bench_scaling(repeats: int = 3, points: int = 4096) -> dict:
 
         dt = _steady(one, repeats)
         schur_rows.append({"devices": d, "gn_steps_per_s": round(2.0 / dt, 2)})
+
+    # communication-volume accounting (VERDICT r2 item 8): exact per-step
+    # collective payloads + the analytic compute-vs-interconnect efficiency
+    # bound — the falsifiable proxy for the 2-host target this one-chip
+    # sandbox permits (dist/comm.py; interpretation in DESIGN.md §8)
+    from tpu_icp_slam.dist import comm
+
+    comm_rows = []
+    for d in counts:
+        if d < 2:
+            continue
+        comm_rows.append(comm.sharded_icp_scaling_model(
+            m_points=points, n_points=points, iters=10, n_devices=d,
+            method="point_to_point", lanes=8, passes=6,
+        ))
+        ns = comm.schur_separator_count(g, d)
+        comm_rows.append(comm.schur_scaling_model(
+            n_separator=ns,
+            n_interior_max=max(1, (n_kf - ns) // d),
+            n_factors=len(factors), iters=2, n_devices=d,
+        ))
     return {"metric": "sharded_align_scaling", "rows": rows,
-            "schur_rows": schur_rows, "unit": "aligns/s", "points": points}
+            "schur_rows": schur_rows, "comm_model": comm_rows,
+            "unit": "aligns/s", "points": points}
 
 
 def bench_from_cli(args) -> int:

@@ -101,6 +101,12 @@ def _unflatten_state(kind: str, leaves: list):
             ),
             frame=jnp.asarray(0),
             n_keyframes=jnp.asarray(0),
+            loc_pts=jnp.zeros((1, 3)),
+            loc_nrm=jnp.zeros((1, 3)),
+            loc_msk=jnp.zeros((1,), bool),
+            r_cover=jnp.asarray(0.0),
+            extract_center=jnp.zeros(3),
+            need_extract=jnp.asarray(True),
         )
     else:
         from tpu_icp_slam.mapping.occupancy2d import OccupancyGrid2D
@@ -243,8 +249,14 @@ def restore_slam_session(path: str, cfg, detector) -> dict:
     """load_slam_checkpoint + restore the LoopDetector's keyframe store.
 
     Shared by Slam2D/Slam3D resume so the detector-mutation detail lives in
-    one place (the device store re-syncs lazily on the next add_keyframe)."""
+    one place."""
     ck = load_slam_checkpoint(path, cfg)
     detector._descs = [np.asarray(d) for d in ck["descs"]]
     detector._positions = ck["positions"]
+    # Invalidate the device-resident store explicitly: a restore with <= the
+    # keyframe count already on device would otherwise pass the lazy
+    # `_n_dev != len(_descs)` resync check and serve stale descriptors
+    # (ADVICE r2). Next candidates()/verify_batch/add_keyframe rebuilds it.
+    detector._descs_dev = None
+    detector._n_dev = 0
     return ck

@@ -275,6 +275,8 @@ def run_slam(
                 "n_loop_candidates": srep.n_loop_candidates,
                 "n_loop_closures": srep.n_loop_closures,
                 "n_loops_rejected": srep.n_loops_rejected,
+                "n_suspect_closures": srep.n_suspect_closures,
+                "closures": srep.closure_table,
             })
             render = None
             if slam.final_state is not None:
@@ -298,6 +300,7 @@ def run_slam(
                         slam.final_state.vmap if slam.final_state else None
                     ),
                     detector=slam.detector,
+                    closure_info=srep.closure_table,
                 )
                 report["map_file"] = save_map_path
             _write_artifacts(out_dir, poses, report, render)
@@ -326,6 +329,8 @@ def run_slam(
             "n_loop_candidates": srep.n_loop_candidates,
             "n_loop_closures": srep.n_loop_closures,
             "n_loops_rejected": srep.n_loops_rejected,
+            "n_suspect_closures": srep.n_suspect_closures,
+            "closures": srep.closure_table,
         })
 
         def render(png):
@@ -343,7 +348,7 @@ def run_slam(
             kf_scans = [(pts[f], msk[f]) for f in slam.kf_frames]
             map_io.save_map(
                 save_map_path, kf_scans, np.stack(slam.kf_poses_out),
-                detector=slam.detector,
+                detector=slam.detector, closure_info=srep.closure_table,
             )
             report["map_file"] = save_map_path
         _write_artifacts(out_dir, poses, report, render)

@@ -90,6 +90,8 @@ class Slam2D:
         closures: list[LoopClosure] = []
         n_cands = 0
         self.closures_kept: list = []
+        self.closure_scores = np.zeros(0)
+        self.closure_suspect = np.zeros(0, bool)
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from tpu_icp_slam.slam.checkpoint import restore_slam_session
 
@@ -244,6 +246,25 @@ class Slam2D:
                     if kept_np[n_odo + k] > 0
                 ]
         self.closures_kept = list(closures)  # post-filter factors
+        # per-closure confidence vs odometry (see Slam3D; SE(3)-lifted)
+        scores, suspect = pg.closure_confidence(
+            kf3, [(lc.i, lc.j, _to3(lc.T_ij)) for lc in closures],
+            suspect_cycle=cfg.backend.suspect_cycle,
+        )
+        self.closure_scores = np.asarray(scores, np.float64)
+        self.closure_suspect = np.asarray(suspect, bool)
+        report.closure_table = [
+            {
+                "i": lc.i, "j": lc.j, "rmse": round(lc.rmse, 4),
+                "n_inliers": lc.n_inliers,
+                "cycle_score_m": (
+                    None if np.isnan(scores[k]) else round(float(scores[k]), 3)
+                ),
+                "suspect": bool(suspect[k]),
+            }
+            for k, lc in enumerate(closures)
+        ]
+        report.n_suspect_closures = int(suspect.sum())
         graph_opt, chis = pg.optimize(
             graph,
             iters=cfg.backend.pg_iters,

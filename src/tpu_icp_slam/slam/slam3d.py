@@ -34,6 +34,14 @@ class SlamReport:
     n_loop_closures: int
     chi2: Optional[list] = None
     n_loops_rejected: int = 0  # residual-gated back-end rejections
+    # per-ACCEPTED-closure confidence (VERDICT r2 item 9): the consistency
+    # filters are blind to aliases the whole graph agrees on (the measured
+    # r2 racetrack wall, DESIGN.md §13) — so the surviving closures carry
+    # their PCM cycle score and a suspect flag into the report/map instead
+    # of being reported as uniformly trustworthy
+    closure_table: Optional[list] = None  # [{i, j, rmse, n_inliers,
+    # cycle_score_m, suspect}]
+    n_suspect_closures: int = 0
 
 
 class Slam3D:
@@ -79,6 +87,8 @@ class Slam3D:
         closures: list[LoopClosure] = []
         n_cands = 0
         self.closures_kept: list = []
+        self.closure_scores = np.zeros(0)
+        self.closure_suspect = np.zeros(0, bool)
         if resume and checkpoint_path and os.path.exists(checkpoint_path):
             from tpu_icp_slam.slam.checkpoint import restore_slam_session
 
@@ -234,6 +244,27 @@ class Slam3D:
                     if kept_np[n_odo + k] > 0
                 ]
         self.closures_kept = list(closures)  # post-filter factors
+        # per-closure confidence for report + saved-map metadata: scored
+        # against ODOMETRY poses (pre-optimization — a smooth optimizer
+        # smears alias error and would hide it, DESIGN.md §13)
+        scores, suspect = pg.closure_confidence(
+            kf_poses, [(lc.i, lc.j, lc.T_ij) for lc in closures],
+            suspect_cycle=cfg.backend.suspect_cycle,
+        )
+        self.closure_scores = np.asarray(scores, np.float64)
+        self.closure_suspect = np.asarray(suspect, bool)
+        report.closure_table = [
+            {
+                "i": lc.i, "j": lc.j, "rmse": round(lc.rmse, 4),
+                "n_inliers": lc.n_inliers,
+                "cycle_score_m": (
+                    None if np.isnan(scores[k]) else round(float(scores[k]), 3)
+                ),
+                "suspect": bool(suspect[k]),
+            }
+            for k, lc in enumerate(closures)
+        ]
+        report.n_suspect_closures = int(suspect.sum())
         import math
 
         n_blocks = math.prod(cfg.dist.mesh_shape)

@@ -138,6 +138,47 @@ def test_pcm_all_true_kept():
     assert keep.all(), keep
 
 
+def test_closure_confidence_flags_alias():
+    """The surviving-alias surface (VERDICT r2 item 9): a false closure that
+    the FILTERS keep (its drift-aware threshold admits it) must still carry
+    a metre-scale cycle score + suspect flag, while true closures score cm.
+
+    This models the measured r2 racetrack wall: 4 closures wrong by 8-16 m
+    survived every consistency filter because the front-end itself aliased —
+    the report/map must expose them as low-confidence, not hide them."""
+    rng = np.random.default_rng(4)
+    n = 12
+    poses_gt, odo, _ = _drifty_chain(rng, n)
+
+    def rel_gt(i, j):
+        return np.linalg.inv(poses_gt[i]) @ poses_gt[j]
+
+    closures = [
+        (0, n - 1, rel_gt(0, n - 1)),
+        (1, n - 1, rel_gt(1, n - 1)),
+        (0, n - 2, rel_gt(0, n - 2)),
+    ]
+    T_false = rel_gt(1, n - 2).copy()
+    T_false[:3, 3] += np.asarray([8.0, 0.0, 0.0])  # one bay over
+    closures.append((1, n - 2, T_false))
+    score, suspect = pg.closure_confidence(
+        np.stack(odo), closures, suspect_cycle=1.0
+    )
+    assert suspect.tolist() == [False, False, False, True], (score, suspect)
+    assert score[3] > 4.0, score  # metre-scale disagreement, not marginal
+    assert (score[:3] < 1.0).all(), score
+
+
+def test_closure_confidence_singleton_unknown():
+    rng = np.random.default_rng(5)
+    poses_gt, odo, _ = _drifty_chain(rng, 8)
+    closures = [(0, 7, np.linalg.inv(poses_gt[0]) @ poses_gt[7])]
+    score, suspect = pg.closure_confidence(np.stack(odo), closures)
+    assert len(score) == 1 and np.isnan(score[0]) and not suspect[0]
+    score0, suspect0 = pg.closure_confidence(np.stack(odo), [])
+    assert len(score0) == 0 and len(suspect0) == 0
+
+
 def test_reject_inconsistent_loops_gross_error():
     """Residual gate (2nd line of defense): a closure wrong by 20 m cannot
     be smeared into the chain — its residual at the optimum stays large."""

@@ -138,6 +138,33 @@ def test_scan_to_map_odometry_tracks_gt():
     )
 
 
+def test_extract_hysteresis_tracks_gt():
+    """Local-model reuse (mapping.extract_hysteresis) must not degrade
+    tracking: same log as test_scan_to_map_odometry_tracks_gt, model
+    re-extracted only after >3 m of motion or a keyframe insert (r3 SOL
+    decomposition: the every-frame top_k was ~12% of the frame budget)."""
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.eval import metrics as em
+    from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+    scans, gt = synthetic.velodyne_log(
+        n_frames=25, n_rings=16, n_azimuth=320, path_fraction=0.3
+    )
+    scans = [voxel_downsample_np(s, 0.4) for s in scans]
+    cfg = _s2m_cfg()
+    cfg = dataclasses.replace(
+        cfg, mapping=dataclasses.replace(cfg.mapping, extract_hysteresis=3.0)
+    )
+    pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)
+    pipe = ScanToMapPipeline(cfg)
+    state = pipe.init_state(pts[0], msk[0])
+    state, infos = pipe.run_fused(state, pts[1:], msk[1:])
+    poses = np.concatenate([np.eye(4)[None], np.asarray(infos["pose"])])
+    gt_rel = np.einsum("ij,fjk->fik", np.linalg.inv(gt[0]), gt)
+    ate = em.ate_rmse(poses[:, :3, 3], gt_rel[: len(poses), :3, 3])
+    assert ate < 0.15, f"hysteresis scan-to-map ATE {ate}"
+
+
 def test_scan_to_map_streaming_matches_fused():
     from tpu_icp_slam.core.pointcloud import voxel_downsample_np
     from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
