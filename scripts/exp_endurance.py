@@ -1,0 +1,169 @@
+"""Flagship-length endurance run (VERDICT r2 item 1).
+
+KITTI seq 00 is ~4,541 frames; the longest r1/r2 validated run was 300.
+This drives the config-4 path — scan-to-map front-end + keyframe DB + loop
+closure + pose graph + eviction churn + per-chunk checkpoints — for
+ENDURANCE_FRAMES (default 1,050) frames at the honest ~1.1 m/frame regime,
+on a multi-lap route (the built-in loop circuit is ~190 m; laps revisit the
+same streets, so the keyframe DB fills and the detector's gated candidate
+search + PCM/residual filters run at full density).
+
+Reports, per VERDICT's spec:
+  - sustained fps over time: per-chunk rates, first vs last 200 frames
+  - amortized backend ms/frame (wall minus front-end chunk time)
+  - ATE (Umeyama) of the final (loop-corrected) trajectory vs GT
+  - keyframe-DB occupancy vs backend.max_keyframes (overflow grows, never
+    truncates — tests/test_endurance_mechanics.py)
+
+Env: ENDURANCE_FRAMES, ENDURANCE_CHUNK (default 150), ENDURANCE_LAPS.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "src"))
+
+import numpy as np  # noqa: E402
+
+from tpu_icp_slam.obs.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache()
+
+import jax  # noqa: E402
+
+FRAMES = int(os.environ.get("ENDURANCE_FRAMES", "1050"))
+CHUNK = int(os.environ.get("ENDURANCE_CHUNK", "150"))
+SEED = int(os.environ.get("ENDURANCE_SEED", "0"))
+
+# the loop circuit from datasets/synthetic.velodyne_log, closed per lap
+_LAP = [
+    (-40, 0), (-8, 0), (16, 0), (36, 0), (36, 16), (8, 18), (-20, 18),
+    (-38, 16), (-40, 8), (-39, 1), (-30, 0.2),
+]
+
+
+def _route(n_frames: int):
+    """Multi-lap waypoints sized so inter-frame motion ≈ 1.1 m."""
+    lap = np.asarray(_LAP, np.float64)
+    lap_len = np.linalg.norm(np.diff(np.vstack([lap, lap[:1]]), axis=0),
+                             axis=1).sum()
+    laps = max(1, int(np.ceil(n_frames * 1.1 / lap_len)))
+    wps = []
+    for _ in range(laps):
+        wps.extend(_LAP)
+    wps.append(_LAP[0])  # close the final lap
+    return np.asarray(wps, np.float64), laps, lap_len
+
+
+def main() -> int:
+    from tpu_icp_slam.config import (
+        BackendConfig, ICPConfig, MappingConfig, PipelineConfig, SlamConfig,
+    )
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.eval import metrics as em
+    from tpu_icp_slam.slam.runner import pad_scans
+    from tpu_icp_slam.slam.slam3d import Slam3D
+
+    waypoints, laps, lap_len = _route(FRAMES)
+    print(json.dumps({
+        "platform": jax.default_backend(), "frames": FRAMES,
+        "laps": laps, "lap_len_m": round(lap_len, 1),
+        "route_m": round(laps * lap_len, 1), "chunk": CHUNK,
+    }), flush=True)
+
+    t0 = time.perf_counter()
+    scans, gt = synthetic.velodyne_log(
+        n_frames=FRAMES, n_rings=48, n_azimuth=1024, seed=SEED,
+        waypoints=waypoints,
+    )
+    scans = [voxel_downsample_np(s, 0.15) for s in scans]
+    print(json.dumps({"gen_s": round(time.perf_counter() - t0, 1),
+                      "mean_pts": int(np.mean([len(s) for s in scans]))}),
+          flush=True)
+
+    cfg = SlamConfig(
+        icp=ICPConfig(
+            method="point_to_plane", max_iters=20, max_corr_dist=1.0,
+            damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
+            min_inliers=100, huber_delta=0.3, tol=1e-5,
+            step_scale=1.4, tol_update=0.01, nn_precision="bf16",
+        ),
+        mapping=MappingConfig(
+            map_capacity=131072, local_model_size=16384, map_voxel=0.2,
+            extract_hysteresis=float(os.environ.get("ENDURANCE_HYST", "0")),
+        ),
+        pipeline=PipelineConfig(
+            mode="scan_to_map", scan_capacity=16384,
+            keyframe_trans=2.0, keyframe_rot=0.25,
+        ),
+        backend=BackendConfig(
+            enabled=True, min_loop_separation=25, gating_radius=15.0,
+            verify_max_dev=4.0, max_keyframes=512,
+        ),
+    )
+    pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)
+    out_dir = os.environ.get("ENDURANCE_OUT", "/tmp/endurance")
+    os.makedirs(out_dir, exist_ok=True)
+
+    slam = Slam3D(cfg)
+    t0 = time.perf_counter()
+    poses, rep = slam.run(
+        pts, msk, mode="fused", chunk_frames=CHUNK,
+        checkpoint_path=os.path.join(out_dir, "ck.npz"),
+    )
+    wall = time.perf_counter() - t0
+
+    # sustained-rate table: per-chunk fps, excluding each chunk's compile
+    # (chunks after the first two reuse the compiled program)
+    chunk_rows = [
+        {"first_frame": f0, "frames": n, "fps": round(n / dt, 1)}
+        for (f0, n, dt) in slam.chunk_stats
+    ]
+    steady = [r["fps"] for r in chunk_rows[2:]] or [r["fps"] for r in chunk_rows]
+    first200 = [r for r in chunk_rows if r["first_frame"] < 200]
+    last200 = [r for r in chunk_rows if r["first_frame"] >= FRAMES - 200 - CHUNK]
+    fe_time = sum(c[2] for c in slam.chunk_stats)
+
+    gt_rel = np.einsum("ij,fjk->fik", np.linalg.inv(gt[0]), gt)
+    ate = em.ate_rmse(poses[:, :3, 3], gt_rel[: len(poses), :3, 3])
+    # odometry-only ATE for comparison (anchors pre-optimization): poses
+    # already corrected; recompute odometric from report? keep final only.
+
+    report = {
+        "frames": FRAMES,
+        "wall_s": round(wall, 1),
+        "frontend_s": round(fe_time, 1),
+        "backend_s": round(wall - fe_time, 1),
+        "backend_ms_per_frame": round(1e3 * (wall - fe_time) / FRAMES, 2),
+        "sustained_fps_median": round(float(np.median(steady)), 1),
+        "fps_first200": round(float(np.mean([r["fps"] for r in first200])), 1),
+        "fps_last200": round(float(np.mean([r["fps"] for r in last200])), 1),
+        "ate_m": round(float(ate), 3),
+        "n_keyframes": rep.n_keyframes,
+        "kf_cap": cfg.backend.max_keyframes,
+        "db_overflowed": rep.n_keyframes > cfg.backend.max_keyframes,
+        "n_candidates": rep.n_loop_candidates,
+        "n_closures": rep.n_loop_closures,
+        "n_rejected": rep.n_loops_rejected,
+        "n_suspect": rep.n_suspect_closures,
+        "map_points_final": None,
+        "chunks": chunk_rows,
+    }
+    if slam.final_state is not None:
+        from tpu_icp_slam.mapping import voxel_map
+
+        report["map_points_final"] = int(voxel_map.count(slam.final_state.vmap))
+    with open(os.path.join(out_dir, "endurance.json"), "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps({k: v for k, v in report.items() if k != "chunks"}),
+          flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -69,9 +69,15 @@ def _step(state: RGBDState, depth, *, cfg: SlamConfig, K: CameraIntrinsics):
     nmap, nvalid = normals_from_depth(vmap_, valid)
     valid_all = valid & nvalid
 
-    # source cloud: the new frame's valid vertices, flattened (static shape)
-    pts = vmap_.reshape(-1, 3)
-    mask = valid_all.reshape(-1)
+    # source cloud: the new frame's valid vertices, flattened (static shape).
+    # rgbd_src_stride > 1 decimates the source grid (coarse pyramid level)
+    # while the TARGET maps stay full-res — the projective lookup still
+    # lands on exact pixels, only the residual set shrinks.
+    s = max(int(cfg.pipeline.rgbd_src_stride), 1)
+    vsrc = vmap_[::s, ::s] if s > 1 else vmap_
+    msrc = valid_all[::s, ::s] if s > 1 else valid_all
+    pts = vsrc.reshape(-1, 3)
+    mask = msrc.reshape(-1)
     src = PointCloud(points=jnp.where(mask[:, None], pts, 1.0e6), mask=mask)
 
     corr = projective_correspondence(

@@ -61,13 +61,22 @@ def load_dataset(spec: str, frames: int, seed: int = 0) -> LoadedDataset:
             path_fraction=frac,
         )
         return LoadedDataset(scans=scans, gt_poses=poses, dim=3, name=spec)
-    if spec == "simrgbd":
-        depths, poses, K = synthetic.rgbd_log(n_frames=frames, seed=seed)
+    if spec in ("simrgbd", "simrgbd_fullres"):
+        # fullres = TUM fr1's real 640x480 sensor grid (307k px/frame), the
+        # BASELINE.json config-3 regime; plain simrgbd keeps the fast
+        # 160x120 ladder stand-in (VERDICT r2 item 6)
+        K_in = (
+            synthetic.Intrinsics.tum_default(640, 480)
+            if spec == "simrgbd_fullres" else None
+        )
+        depths, poses, K = synthetic.rgbd_log(
+            n_frames=frames, K=K_in, seed=seed
+        )
         return LoadedDataset(
             scans=[],
             gt_poses=poses,
             dim=3,
-            name="simrgbd",
+            name=spec,
             kind="rgbd",
             depths=depths,
             intrinsics=(K.fx, K.fy, K.cx, K.cy, K.width, K.height),

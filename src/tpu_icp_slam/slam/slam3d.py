@@ -60,6 +60,7 @@ class Slam3D:
         checkpoint_path: Optional[str] = None,
         checkpoint_every: int = 0,
         resume: bool = False,
+        chunk_frames: int = 0,
     ):
         """pts (F, C, 3), msk (F, C) -> (poses (F, 4, 4), SlamReport).
 
@@ -69,6 +70,14 @@ class Slam3D:
         batch pass after — the offline/bench shape. mode="streaming" steps
         frame by frame with the backend interleaved per keyframe — the
         live-sensor shape. Both produce the same factors.
+
+        chunk_frames > 0 (fused mode): run the fused scan in fixed-length
+        chunks with the backend (keyframe descriptors + loop verification)
+        and optional checkpointing interleaved BETWEEN chunks — the
+        flagship-length shape (VERDICT r2 item 1): bounded per-dispatch
+        device arrays, sustained-rate visibility (self.chunk_stats records
+        (first_frame, n_frames, wall_s) per chunk with an honest readback
+        fence), and mid-log recovery points on multi-thousand-frame logs.
 
         checkpoint_every > 0 / resume force streaming and save/restore the
         FULL state: front-end pytree + keyframe database (frames, poses,
@@ -136,16 +145,32 @@ class Slam3D:
             )
 
         self.final_state = None
+        self.chunk_stats: list = []  # (first_frame, n_frames, wall_s)
         if mode == "fused":
-            state, infos = self.pipe.run_fused(state, pts[1:], msk[1:])
-            all_poses = np.asarray(infos["pose"], np.float64)
-            kf_flags = np.asarray(infos["is_keyframe"])
-            for f in range(1, len(pts)):
-                pose = all_poses[f - 1]
-                poses.append(pose)
-                if bool(kf_flags[f - 1]):
-                    on_keyframe(f, pose)
-                anchor_kf.append(len(kf_frames) - 1)
+            import time as _time
+
+            chunk = chunk_frames if chunk_frames > 0 else len(pts) - start
+            f0 = start
+            while f0 < len(pts):
+                f1 = min(f0 + chunk, len(pts))
+                t0 = _time.perf_counter()
+                state, infos = self.pipe.run_fused(
+                    state, pts[f0:f1], msk[f0:f1]
+                )
+                all_poses = np.asarray(infos["pose"], np.float64)  # readback
+                kf_flags = np.asarray(infos["is_keyframe"])  # = honest fence
+                self.chunk_stats.append(
+                    (f0, f1 - f0, _time.perf_counter() - t0)
+                )
+                for f in range(f0, f1):
+                    pose = all_poses[f - f0]
+                    poses.append(pose)
+                    if bool(kf_flags[f - f0]):
+                        on_keyframe(f, pose)
+                    anchor_kf.append(len(kf_frames) - 1)
+                if chunk_frames and checkpoint_path:
+                    save_ck(f1)
+                f0 = f1
         else:
             for f in range(start, len(pts)):
                 # failure detection (SURVEY.md §5): under jit nothing raises

@@ -73,6 +73,25 @@ def test_rgbd_odometry_on_synthetic_scene():
     assert report["ate_rmse"] < 0.03, report["ate_rmse"]
 
 
+def test_rgbd_fullres_with_stride():
+    """Config 3 at the REAL sensor grid (VERDICT r2 item 6): 640x480 depth,
+    source decimated by stride 2 (76.8k pts >= the 64k organized-cloud
+    bound) against full-res target maps — tracking must hold."""
+    cfg = override(
+        SlamConfig(),
+        {
+            "icp.max_corr_dist": 0.15, "icp.max_iters": 8,
+            "icp.method": "point_to_plane",
+            "pipeline.rgbd_src_stride": 2,
+        },
+    )
+    data = load_dataset("simrgbd_fullres", frames=4)
+    assert data.depths.shape[1:] == (480, 640)
+    poses, report = run_slam(cfg, data, out_dir=None, mode="fused")
+    assert poses.shape == (4, 4, 4)
+    assert report["ate_rmse"] < 0.03, report["ate_rmse"]
+
+
 def test_tum_loader_roundtrip(tmp_path):
     from tpu_icp_slam.datasets import tum
 
