@@ -78,14 +78,15 @@ def _kitti_scans():
 
 
 def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
-         kf_trans):
+         kf_trans, kf_rot=0.2, max_iters=20, normal_ref_stride=1):
     from tpu_icp_slam.config import (
         ICPConfig, MappingConfig, PipelineConfig, SlamConfig,
     )
 
     return SlamConfig(
         icp=ICPConfig(
-            method="point_to_plane", max_iters=20, max_corr_dist=max_corr,
+            method="point_to_plane", max_iters=max_iters,
+            max_corr_dist=max_corr,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=min_inl, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01,  # over-relaxed ICP: ~2.2x fewer
@@ -99,7 +100,8 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
         ),
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=capacity,
-            keyframe_trans=kf_trans, keyframe_rot=0.2,
+            keyframe_trans=kf_trans, keyframe_rot=kf_rot,
+            normal_ref_stride=normal_ref_stride,
         ),
     )
 
@@ -109,7 +111,12 @@ def _toy_cfg():
 
 
 def _kitti_cfg():
-    return _cfg(16384, 131072, 16384, 0.2, 1.0, 100, 1.5)
+    # r3 fast-frame A/B winners (BASELINE.md): iteration cap 6 (mean stays
+    # ~3 via tol_update), keyframes at 2.5 m / 0.3 rad, normals plane-fit
+    # against a 4x-strided reference — 101.5 fps / ATE 0.028 vs the r2
+    # 88.3 / 0.020 at 30 frames
+    return _cfg(16384, 131072, 16384, 0.2, 1.0, 100, 2.5, kf_rot=0.3,
+                max_iters=6, normal_ref_stride=4)
 
 
 def bench_tpu(scans, cfg, trace=False, mode=None):

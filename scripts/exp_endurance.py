@@ -35,7 +35,7 @@ _enable_cache()
 
 import jax  # noqa: E402
 
-FRAMES = int(os.environ.get("ENDURANCE_FRAMES", "1050"))
+FRAMES = int(os.environ.get("ENDURANCE_FRAMES", "1051"))  # 1 init + 7x150
 CHUNK = int(os.environ.get("ENDURANCE_CHUNK", "150"))
 SEED = int(os.environ.get("ENDURANCE_SEED", "0"))
 
@@ -86,20 +86,20 @@ def main() -> int:
                       "mean_pts": int(np.mean([len(s) for s in scans]))}),
           flush=True)
 
+    # the r3 flagship config (bench.py _kitti_cfg winners, BASELINE.md)
     cfg = SlamConfig(
         icp=ICPConfig(
-            method="point_to_plane", max_iters=20, max_corr_dist=1.0,
+            method="point_to_plane", max_iters=6, max_corr_dist=1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=100, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01, nn_precision="bf16",
         ),
         mapping=MappingConfig(
             map_capacity=131072, local_model_size=16384, map_voxel=0.2,
-            extract_hysteresis=float(os.environ.get("ENDURANCE_HYST", "0")),
         ),
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=16384,
-            keyframe_trans=2.0, keyframe_rot=0.25,
+            keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
         ),
         backend=BackendConfig(
             enabled=True, min_loop_separation=25, gating_radius=15.0,

@@ -69,7 +69,10 @@ class MappingConfig:
     # until the predicted sensor moved this far from the extraction center
     # (or a keyframe changed the map) instead of re-extracting every frame.
     # The coverage gate shrinks by the staleness offset, so correctness is
-    # preserved; saves the ~1.4 ms top_k on most frames (r3 SOL decomp).
+    # preserved. MEASURED NET-NEGATIVE on the axon v5e (r3 A/B, BASELINE.md:
+    # 81.5 vs 88.3 fps — the lax.cond + carried-model copies cost more than
+    # the ~1.4 ms top_k saved at this keyframe density). Kept for sparser-
+    # keyframe regimes; default off.
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,6 +84,9 @@ class PipelineConfig:
     keyframe_min_inlier_frac: float = 0.3  # insert only if ICP is this healthy
     keyframe_max_rmse: float = 0.6  # ... or rmse below this even if not converged
     normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
+    normal_ref_stride: int = 1  # >1: fit planes against every Nth point
+    # (shrinks the keyframe normals distance matrix by the stride; see
+    # mapping.normals.normals_knn)
     motion_model: str = "constant_velocity"  # constant_velocity | identity
     donate_state: bool = False  # donate the state pytree to the jitted step
     # (in-place map/grid update, no copy; incompatible with the runner's

@@ -100,14 +100,22 @@ def normals_knn(
     mask: jnp.ndarray,
     k: int = 16,
     viewpoint: jnp.ndarray | None = None,
+    ref_stride: int = 1,
 ) -> jnp.ndarray:
     """(N, 3) cloud -> (N, 3) unit normals by local plane fit.
 
     Padded slots (mask False) get zero normals. Normals are oriented toward
     `viewpoint` (default: the origin, i.e. the sensor).
+
+    ref_stride > 1 fits each point's plane against a strided SUBSET of the
+    cloud (every ref_stride-th point): the N×N distance matrix — the
+    dominant cost of keyframe normal estimation at 16k points — shrinks by
+    the stride, while neighbors at ~stride× spacing still span the same
+    local plane (street-scene surfaces are locally flat at metre scale).
     """
-    idx, _ = knn_bruteforce_xla(points, points, k=k, approx=True)
-    nbrs = points[idx]  # (N, k, 3)
+    ref = points if ref_stride <= 1 else points[::ref_stride]
+    idx, _ = knn_bruteforce_xla(points, ref, k=k, approx=True)
+    nbrs = ref[idx]  # (N, k, 3)
     mu = jnp.mean(nbrs, axis=1, keepdims=True)
     x = nbrs - mu
     cov = jnp.einsum("nki,nkj->nij", x, x) / k  # (N, 3, 3)

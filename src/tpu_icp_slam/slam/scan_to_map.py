@@ -70,7 +70,10 @@ class ScanToMapPipeline:
         pts = jnp.asarray(first_points, jnp.float32)
         msk = jnp.asarray(first_mask)
         vm = voxel_map.create(m.map_capacity)
-        nrm = normals_knn(pts, msk, k=self.cfg.pipeline.normal_k)
+        nrm = normals_knn(
+            pts, msk, k=self.cfg.pipeline.normal_k,
+            ref_stride=self.cfg.pipeline.normal_ref_stride,
+        )
         vm = voxel_map.insert(vm, pts, msk, nrm, voxel=m.map_voxel)
         size = m.local_model_size
         return MapOdomState(
@@ -198,7 +201,9 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     def do_insert(vm):
         world_pts = points @ pose[:3, :3].T + pose[:3, 3]
         world_pts = jnp.where(mask[:, None], world_pts, 1.0e6)
-        nrm = normals_knn(points, mask, k=p.normal_k) @ pose[:3, :3].T
+        nrm = normals_knn(
+            points, mask, k=p.normal_k, ref_stride=p.normal_ref_stride
+        ) @ pose[:3, :3].T
         # spatial eviction around the current pose (see voxel_map.insert)
         return voxel_map.insert(
             vm, world_pts, mask, nrm, voxel=m.map_voxel, center=pose[:3, 3]

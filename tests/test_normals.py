@@ -65,3 +65,17 @@ def test_normals_knn_on_plane():
     # oriented toward the origin (sensor below the plane) => n_z < 0
     assert (np.abs(n[:, 2]) > 0.99).all()
     assert (n[:, 2] < 0).all()
+
+
+def test_normals_knn_ref_stride_same_plane():
+    """Strided-reference plane fit (the cheap keyframe-normals path) must
+    recover the same plane on locally flat geometry."""
+    rng = np.random.default_rng(3)
+    pts = np.zeros((400, 3), np.float32)
+    pts[:, :2] = rng.uniform(-4, 4, (400, 2))
+    pts[:, 2] = 5.0 + 0.001 * rng.standard_normal(400)
+    n = np.asarray(normals_knn(
+        jnp.asarray(pts), jnp.ones(400, bool), k=8, ref_stride=4
+    ))
+    assert (np.abs(n[:, 2]) > 0.99).all()
+    assert (n[:, 2] < 0).all()
