@@ -203,6 +203,36 @@ def _nn_flops_per_frame(cfg, mean_iters: float) -> tuple[float, float]:
     return kernel, useful
 
 
+def _fault_injection_check(spec: str) -> dict:
+    """Bench-harness fault hook (SURVEY.md §5): BENCH_FAULT="nan_frame:K"
+    corrupts frame K of a small toy log and drives the STREAMING runner
+    (the path that owns skip-and-log failure detection); returns a
+    machine-readable verdict for the report. Not a timing run."""
+    kind, _, arg = spec.partition(":")
+    k = int(arg or "5")
+    import numpy as np
+
+    from tpu_icp_slam.config import PipelineConfig, SlamConfig
+    from tpu_icp_slam.datasets import synthetic
+    from tpu_icp_slam.slam.runner import LoadedDataset, run_slam
+
+    scans, _ = synthetic.velodyne_log(
+        n_frames=12, n_rings=8, n_azimuth=128, path_fraction=0.12
+    )
+    scans = [np.asarray(s) for s in scans]
+    if kind == "nan_frame":
+        scans[k] = np.full_like(scans[k], np.nan)
+    elif kind == "drop_frame":
+        scans[k] = scans[k][:0]
+    else:
+        return {"mode": spec, "error": "unknown fault kind"}
+    data = LoadedDataset(scans=scans, gt_poses=None, dim=3, name="bench_fault")
+    cfg = SlamConfig(pipeline=PipelineConfig(scan_capacity=512))
+    poses, _ = run_slam(cfg, data, out_dir=None, mode="streaming")
+    recovered = bool(np.isfinite(poses).all()) and len(poses) == 12
+    return {"mode": spec, "frame": k, "recovered": recovered}
+
+
 def main() -> int:
     from tpu_icp_slam.obs.compile_cache import enable as _enable_cache
 
@@ -211,6 +241,13 @@ def main() -> int:
 
     report = {}
     bands_ok = []
+
+    fault_spec = os.environ.get("BENCH_FAULT", "")
+    if fault_spec:
+        report["fault_injection"] = _fault_injection_check(fault_spec)
+        if not report["fault_injection"].get("recovered", False):
+            print(json.dumps(report))
+            return 5
 
     kitti_fps = toy_fps = None
     if REGIME in ("kitti", "both"):

@@ -47,15 +47,22 @@ _LAP = [
 
 
 def _route(n_frames: int):
-    """Multi-lap waypoints sized so inter-frame motion ≈ 1.1 m."""
+    """Multi-lap waypoints sized so inter-frame motion ≈ 1.1 m.
+
+    Lap seams chain from the lap's last waypoint (-30, 0.2) DIRECTLY to the
+    next lap's second waypoint (-8, 0): both head east, so the heading stays
+    continuous. Inserting the lap start (-40, 0) between laps creates a 180°
+    route reversal — the generator derives heading from the path gradient,
+    the heading flips within ~2 frames, and tracking structurally dies (the
+    first endurance attempt measured exactly that: keyframes stop at one
+    lap, ATE 28 m; the known 2D-generator reversal failure, DESIGN.md)."""
     lap = np.asarray(_LAP, np.float64)
-    lap_len = np.linalg.norm(np.diff(np.vstack([lap, lap[:1]]), axis=0),
-                             axis=1).sum()
+    seam = np.vstack([lap, lap[1:2]])  # ...(-30,0.2) -> (-8,0) next lap
+    lap_len = np.linalg.norm(np.diff(seam, axis=0), axis=1).sum()
     laps = max(1, int(np.ceil(n_frames * 1.1 / lap_len)))
-    wps = []
-    for _ in range(laps):
-        wps.extend(_LAP)
-    wps.append(_LAP[0])  # close the final lap
+    wps = list(_LAP)
+    for _ in range(laps - 1):
+        wps.extend(_LAP[1:])
     return np.asarray(wps, np.float64), laps, lap_len
 
 
@@ -124,8 +131,9 @@ def main() -> int:
         {"first_frame": f0, "frames": n, "fps": round(n / dt, 1)}
         for (f0, n, dt) in slam.chunk_stats
     ]
-    steady = [r["fps"] for r in chunk_rows[2:]] or [r["fps"] for r in chunk_rows]
-    first200 = [r for r in chunk_rows if r["first_frame"] < 200]
+    # chunk 0 carries the program compile — exclude it from rate stats
+    steady = [r["fps"] for r in chunk_rows[1:]] or [r["fps"] for r in chunk_rows]
+    first200 = [r for r in chunk_rows[1:] if r["first_frame"] < 350]
     last200 = [r for r in chunk_rows if r["first_frame"] >= FRAMES - 200 - CHUNK]
     fe_time = sum(c[2] for c in slam.chunk_stats)
 
@@ -138,8 +146,8 @@ def main() -> int:
         "frames": FRAMES,
         "wall_s": round(wall, 1),
         "frontend_s": round(fe_time, 1),
-        "backend_s": round(wall - fe_time, 1),
-        "backend_ms_per_frame": round(1e3 * (wall - fe_time) / FRAMES, 2),
+        "backend_s": round(slam.backend_s, 1),  # measured on_keyframe time
+        "backend_ms_per_frame": round(1e3 * slam.backend_s / FRAMES, 2),
         "sustained_fps_median": round(float(np.median(steady)), 1),
         "fps_first200": round(float(np.mean([r["fps"] for r in first200])), 1),
         "fps_last200": round(float(np.mean([r["fps"] for r in last200])), 1),

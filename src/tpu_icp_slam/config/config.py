@@ -65,6 +65,12 @@ class MappingConfig:
     map_capacity: int = 65536  # max points in the global map
     local_model_size: int = 16384  # points extracted for scan-to-map ICP
     map_voxel: float = 0.4  # dedup voxel size (meters)
+    insert_backend: str = "sort"  # sort | hash: voxel-dedup insert via the
+    # full lexsort (exact eviction order) or the sort-free hash-probe path
+    # (voxel_map.insert_hash — map slots stay put, lazy eviction; built to
+    # remove the 7.6 ms/keyframe lexsort, r3 SOL decomposition)
+    extract_approx: bool = False  # local-model selection via approx_min_k
+    # (~0.95 recall) instead of exact top_k — see voxel_map.extract_local
     extract_hysteresis: float = 0.0  # >0: reuse the carried local model
     # until the predicted sensor moved this far from the extraction center
     # (or a keyframe changed the map) instead of re-extracting every frame.

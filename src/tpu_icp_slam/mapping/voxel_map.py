@@ -96,8 +96,113 @@ def insert(vm: VoxelMap, pts: jnp.ndarray, msk: jnp.ndarray, nrm: jnp.ndarray,
     return VoxelMap(points=new_pts, normals=new_nrm, mask=new_msk)
 
 
+def insert_hash(vm: VoxelMap, pts: jnp.ndarray, msk: jnp.ndarray,
+                nrm: jnp.ndarray, *, voxel: float,
+                center: jnp.ndarray | None = None,
+                table_mult: int = 2, probes: int = 8) -> VoxelMap:
+    """Hash-probe voxel-dedup insert — the sort-free fast path.
+
+    `insert` lexsorts map+scan (147k elements at the flagship regime, ~7.6
+    ms/keyframe, the largest single op in the pipeline — r3 SOL
+    decomposition). This variant never sorts the map side:
+
+      1. map slots STAY PUT (no reshuffle); a fresh open-addressing hash
+         table (table_mult x capacity, `probes` linear-probe rounds maps
+         quantized voxel keys -> slot index) is built per insert with
+         scatter-min + gather-verify — no pointer chasing, fixed shapes;
+      2. the scan dedups internally with one small (N_new) sort;
+      3. membership probes drop scan points whose voxel is already mapped
+         (existing point wins, same tie policy as `insert`);
+      4. surviving points scatter into victim slots — empty slots first,
+         then (with `center`) the farthest-from-sensor occupied slots
+         (the same spatial-eviction policy), nearest new points placed
+         first; a victim is only overwritten when its eviction score is
+         worse than the incoming point's.
+
+    Differences vs `insert` (why it's a separate function, behind
+    mapping.insert_backend): map points keep their slots between inserts
+    (stable indices), eviction is lazy (only as many victims as needed),
+    and hash-probe overflow (> `probes` collisions) can rarely admit a
+    duplicate voxel — it wastes a slot, never loses data. Equivalence of
+    the surviving voxel SET (no-eviction case) is test-enforced.
+    """
+    cap = vm.capacity
+    n_new = pts.shape[0]
+    tsize = table_mult * cap
+    q_map = _quantize(vm.points, vm.mask, voxel)  # (C, 3)
+    q_new = _quantize(pts, msk, voxel)  # (N, 3)
+
+    def _hash(q):
+        h = (q[:, 0].astype(jnp.uint32) * jnp.uint32(2654435761)
+             ^ q[:, 1].astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+             ^ q[:, 2].astype(jnp.uint32) * jnp.uint32(0x85EBCA77))
+        return (h % jnp.uint32(tsize)).astype(jnp.int32)
+
+    # 1. build: scatter-min claims a slot; rounds move the unplaced to the
+    # next probe offset. Entries still unplaced after `probes` rounds are
+    # invisible to membership (harmless duplicate admission).
+    empty = jnp.int32(cap)  # sentinel > any real index
+    table = jnp.full((tsize,), empty, jnp.int32)
+    h_map = _hash(q_map)
+    idx_map = jnp.arange(cap, dtype=jnp.int32)
+    placed = ~vm.mask
+    for p in range(probes):
+        slot = (h_map + p) % tsize
+        attempt = jnp.where(placed, empty, idx_map)
+        table = table.at[slot].min(attempt)
+        placed = placed | (table[slot] == idx_map)
+
+    # 2. scan-internal dedup: one small sort over the new points only
+    order = jnp.lexsort(
+        (jnp.arange(n_new), q_new[:, 2], q_new[:, 1], q_new[:, 0])
+    )
+    qs = q_new[order]
+    dup = jnp.all(qs == jnp.roll(qs, 1, axis=0), axis=1).at[0].set(False)
+    first_of_voxel = jnp.zeros((n_new,), bool).at[order].set(~dup)
+
+    # 3. membership: probe the table, verify by exact quantized-key compare
+    h_new = _hash(q_new)
+    present = jnp.zeros((n_new,), bool)
+    for p in range(probes):
+        cand = table[(h_new + p) % tsize]  # (N,) slot or `empty`
+        cand_q = q_map[jnp.minimum(cand, cap - 1)]
+        hit = (cand < cap) & jnp.all(cand_q == q_new, axis=1)
+        present = present | hit
+    need = msk & first_of_voxel & ~present
+
+    # 4. victims + placement
+    if center is not None:
+        c = center
+    else:
+        c = jnp.zeros((3,), pts.dtype)
+    d2_slot = jnp.sum((vm.points - c[None, :]) ** 2, axis=-1)
+    # empty slots score +inf (chosen first, always overwritable); occupied
+    # slots score their eviction badness (distance from sensor)
+    evict_score = jnp.where(vm.mask, d2_slot, jnp.inf)
+    if center is None:
+        # deterministic mode: never evict — only empty slots are victims
+        evict_score = jnp.where(vm.mask, -jnp.inf, jnp.inf)
+    k_victims = min(n_new, cap)
+    v_score, v_slot = jax.lax.top_k(evict_score, k_victims)
+    d2_new = jnp.sum((pts - c[None, :]) ** 2, axis=-1)
+    rank_new = jnp.argsort(jnp.where(need, d2_new, jnp.inf))[:k_victims]
+    src_ok = need[rank_new]
+    better = v_score > d2_new[rank_new]  # inf (empty) always wins
+    do = src_ok & better
+    tgt = jnp.where(do, v_slot, cap)  # `cap` = dropped (out-of-range row)
+    new_points = jnp.pad(vm.points, ((0, 1), (0, 0)))
+    new_normals = jnp.pad(vm.normals, ((0, 1), (0, 0)))
+    new_mask = jnp.pad(vm.mask, (0, 1))
+    src_pts = jnp.where(do[:, None], pts[rank_new], PAD_COORD)
+    src_nrm = jnp.where(do[:, None], nrm[rank_new], 0.0)
+    new_points = new_points.at[tgt].set(src_pts)[:cap]
+    new_normals = new_normals.at[tgt].set(src_nrm)[:cap]
+    new_mask = new_mask.at[tgt].set(new_mask[tgt] | do)[:cap]
+    return VoxelMap(points=new_points, normals=new_normals, mask=new_mask)
+
+
 def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
-                  radius: float = 0.0):
+                  radius: float = 0.0, approx: bool = False):
     """Nearest `size` map points to `center`: (pts (S,3), nrm (S,3), msk (S,),
     r_cover ()).
 
@@ -107,11 +212,21 @@ def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
     selected point (or `radius` if that gates first). Scan points beyond
     r_cover have no genuine counterpart in the model and must not be matched
     against its boundary (scan_to_map gates on this).
+
+    approx=True selects via `lax.approx_min_k` (~0.95 recall): the local
+    model drops ~5% of its true nearest points, which thins its density
+    imperceptibly (the map is voxel-dense at `map_voxel` spacing) while
+    skipping the exact top_k's full sort network — the per-frame extract
+    was 1.4 ms of the 10 ms flagship frame (r3 SOL decomposition).
+    r_cover stays correct: it is the max distance of the SELECTED set.
     """
     diff = vm.points - center[None, :]
     d2 = jnp.sum(diff * diff, axis=-1)
     d2 = jnp.where(vm.mask, d2, jnp.inf)
-    neg, idx = jax.lax.top_k(-d2, size)
+    if approx:
+        neg, idx = jax.lax.approx_max_k(-d2, size)
+    else:
+        neg, idx = jax.lax.top_k(-d2, size)
     msk = jnp.isfinite(neg)
     if radius > 0.0:
         msk = msk & (-neg <= radius * radius)

@@ -132,7 +132,8 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
             need,
             lambda: (
                 *voxel_map.extract_local(
-                    state.vmap, center, m.local_model_size
+                    state.vmap, center, m.local_model_size,
+                    approx=m.extract_approx,
                 ),
                 center,
             ),
@@ -144,7 +145,7 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         stale_off = jnp.linalg.norm(center - ex_center)
     else:
         loc_pts, loc_nrm, loc_msk, r_cover = voxel_map.extract_local(
-            state.vmap, center, m.local_model_size
+            state.vmap, center, m.local_model_size, approx=m.extract_approx
         )
         ex_center = center
         stale_off = jnp.asarray(0.0, jnp.float32)
@@ -205,7 +206,12 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
             points, mask, k=p.normal_k, ref_stride=p.normal_ref_stride
         ) @ pose[:3, :3].T
         # spatial eviction around the current pose (see voxel_map.insert)
-        return voxel_map.insert(
+        ins = (
+            voxel_map.insert_hash
+            if m.insert_backend == "hash"
+            else voxel_map.insert
+        )
+        return ins(
             vm, world_pts, mask, nrm, voxel=m.map_voxel, center=pose[:3, 3]
         )
 

@@ -118,8 +118,13 @@ class Slam3D:
             anchor_kf = [0]  # per-frame anchoring for post-opt correction
             self.detector.add_keyframe(pts[0], msk[0], position=np.zeros(3))
 
+        self.backend_s = 0.0  # wall time in per-keyframe backend work
+
         def on_keyframe(f, pose):
             nonlocal n_cands
+            import time as _t
+
+            t0 = _t.perf_counter()
             kf_idx = self.detector.add_keyframe(
                 pts[f], msk[f], position=pose[:3, 3]
             )
@@ -134,6 +139,7 @@ class Slam3D:
                 )
                 n_cands += n
                 closures.extend(lcs)
+            self.backend_s += _t.perf_counter() - t0
 
         def save_ck(next_frame):
             from tpu_icp_slam.slam.checkpoint import save_slam_checkpoint

@@ -217,6 +217,74 @@ def test_run_kitti_dir_end_to_end(tmp_path):
     assert (tmp_path / "out" / "map.png").exists()
 
 
+def test_insert_hash_matches_sort_voxel_set():
+    """Hash-probe insert must produce the same SURVIVING VOXEL SET as the
+    lexsort insert when nothing evicts (the dedup contract); slot order may
+    differ (hash keeps existing slots put — that's the point)."""
+    import jax.numpy as jnp
+
+    from tpu_icp_slam.mapping import voxel_map
+
+    rng = np.random.default_rng(0)
+    vox = 0.5
+    a = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
+    b = rng.uniform(-8, 8, (300, 3)).astype(np.float32)
+    b[:60] = a[:60] + 0.01  # overlapping voxels: existing must win
+
+    def build(ins):
+        vm = voxel_map.create(2048)
+        vm = ins(vm, jnp.asarray(a), jnp.ones(300, bool),
+                 jnp.zeros((300, 3), jnp.float32), voxel=vox)
+        vm = ins(vm, jnp.asarray(b), jnp.ones(300, bool),
+                 jnp.zeros((300, 3), jnp.float32), voxel=vox)
+        return vm
+
+    vm_s = build(voxel_map.insert)
+    vm_h = build(voxel_map.insert_hash)
+
+    def voxels(vm):
+        p = np.asarray(vm.points)[np.asarray(vm.mask)]
+        return set(map(tuple, np.floor(p / vox).astype(np.int64)))
+
+    vs, vh = voxels(vm_s), voxels(vm_h)
+    # hash-probe overflow may rarely admit a duplicate voxel (wastes a
+    # slot, loses nothing) — require equality of the voxel set
+    assert vs == vh, (len(vs), len(vh), vs ^ vh)
+    # existing-point-wins tie policy: the overlapping voxels hold the
+    # FIRST-inserted coordinates in both
+    pa = np.asarray(vm_h.points)[np.asarray(vm_h.mask)]
+    for i in range(20):
+        d = np.linalg.norm(pa - a[i], axis=1).min()
+        assert d < 1e-5, f"existing point {i} displaced (nearest {d})"
+
+
+def test_insert_hash_capacity_and_eviction():
+    import jax.numpy as jnp
+
+    from tpu_icp_slam.mapping import voxel_map
+
+    rng = np.random.default_rng(1)
+    vox = 0.4
+    cap = 256
+    vm = voxel_map.create(cap)
+    # fill beyond capacity from a ring far from the origin
+    far = rng.uniform(6, 10, (400, 3)).astype(np.float32)
+    vm = voxel_map.insert_hash(vm, jnp.asarray(far), jnp.ones(400, bool),
+                               jnp.zeros((400, 3), jnp.float32), voxel=vox,
+                               center=jnp.zeros(3))
+    assert int(voxel_map.count(vm)) <= cap
+    # now insert near points with spatial eviction around the origin:
+    # near points must displace far ones
+    near = rng.uniform(-1, 1, (200, 3)).astype(np.float32)
+    vm = voxel_map.insert_hash(vm, jnp.asarray(near), jnp.ones(200, bool),
+                               jnp.zeros((200, 3), jnp.float32), voxel=vox,
+                               center=jnp.zeros(3))
+    pts = np.asarray(vm.points)[np.asarray(vm.mask)]
+    n_near = (np.linalg.norm(pts, axis=1) < 2.0).sum()
+    assert n_near >= 100, f"only {n_near} near points survived eviction"
+    assert int(voxel_map.count(vm)) <= cap
+
+
 def test_voxel_insert_spatial_eviction():
     """With a center, the nearest points survive overflow — not the oldest."""
     vm = voxel_map.create(8)
