@@ -40,6 +40,11 @@ class ICPConfig:
     max_step_trans: float = 0.0  # >0: clamp per-iteration GN translation (m)
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged
+    loop_backend: str = "steps"  # steps | fused. "fused" runs the WHOLE
+    # point-to-plane iterate-until-converged loop in one pallas_call
+    # (kernels/icp_fused_pallas.py) — one kernel launch per align, no
+    # per-iteration backend control floor. Supported subset: 3D
+    # point_to_plane, no anderson, no normal gate; scan_to_map wires it in.
     nn_backend: str = "auto"  # auto | pallas | xla | voxel
     nn_precision: str = "highest"  # highest | bf16 (pallas NN contraction;
     # bf16 = recentered single-pass — selection-only jitter, see nn_pallas.py)

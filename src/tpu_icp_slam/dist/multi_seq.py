@@ -18,24 +18,7 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from tpu_icp_slam.config import SlamConfig
-from tpu_icp_slam.slam.scan_to_map import MapOdomState, _fused_run
-from tpu_icp_slam.mapping import voxel_map
-from tpu_icp_slam.mapping.normals import normals_knn
-
-
-def _init_state(first_pts, first_msk, cfg: SlamConfig) -> MapOdomState:
-    m = cfg.mapping
-    vm = voxel_map.create(m.map_capacity)
-    nrm = normals_knn(first_pts, first_msk, k=cfg.pipeline.normal_k)
-    vm = voxel_map.insert(vm, first_pts, first_msk, nrm, voxel=m.map_voxel)
-    return MapOdomState(
-        pose=jnp.eye(4, dtype=jnp.float32),
-        T_rel=jnp.eye(4, dtype=jnp.float32),
-        last_kf_pose=jnp.eye(4, dtype=jnp.float32),
-        vmap=vm,
-        frame=jnp.asarray(0, jnp.int32),
-        n_keyframes=jnp.asarray(1, jnp.int32),
-    )
+from tpu_icp_slam.slam.scan_to_map import _fused_run, init_state as _init_state
 
 
 def make_multi_sequence_runner(mesh: jax.sharding.Mesh, cfg: SlamConfig,

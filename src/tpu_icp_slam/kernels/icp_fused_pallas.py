@@ -1,0 +1,550 @@
+"""Pallas TPU kernel: the ENTIRE point-to-plane ICP loop in one pallas_call.
+
+Motivation (BASELINE.md r3 speed-of-light decomposition): at the flagship
+KITTI regime each ICP iteration costs ~1.0-1.2 ms wall of which only
+~0.74 ms is traced device work — the rest is per-`while_loop`-step backend
+overhead, and the iteration itself is split across four dispatch units
+(NN kernel, XLA gather, GN kernel, XLA solve) with HBM round-trips for the
+correspondence index/coordinate arrays between them. This kernel keeps the
+scan, the local model, and ALL iteration state resident in VMEM and runs
+the full iterate-until-converged loop on-core:
+
+    while not converged and it < max_iters:
+      1. cur  = src @ T^T                       (one (M,8)x(8,8) MXU pass)
+      2. NN   = tiled d^2-packed bf16 argmin     (same math as nn_pallas
+               over the model                     "bf16" mode, incl. hi/lo
+                                                  Dekker lane packing)
+      3. q,n  = model[arg], modelN[arg]          (in-kernel dynamic gather)
+      4. w    = dist gate * coverage gate * src mask * Huber
+      5. H,g  = J^T W J, J^T W r                 (two MXU passes, J on VPU)
+      6. xi   = damped 6x6 Cholesky solve        (unrolled scalar code)
+               + trust clamps + step scaling
+      7. T    = exp(xi) @ T                      (Rodrigues, scalar code)
+      8. converged = |rmse - prev| < tol or step < tol_update
+
+The host sees ONE kernel launch per align; the correspondence arrays never
+exist in HBM. Semantics mirror icp.loop.align_with_correspondence +
+slam.scan_to_map's coverage-gated correspondence for the supported config
+subset (3D point-to-plane, no Anderson, no normal gate); equivalence is
+test-enforced against that path (tests/test_icp_fused.py).
+
+This is the TPU-native analogue of fusing the reference's per-iteration
+kernel relay (transform -> NN -> reduce -> solve, SURVEY.md §3a; mount
+empty, §0) into a single resident program.
+
+Precision: the NN selection uses the same recentered hi/lo-packed bf16
+contraction as kernels/nn_pallas.py (one MXU pass; see the conformance
+caveat in that header — on the axon emulator selection is approximate, on
+conformant hardware near-exact). All residual/GN math is f32: distances
+are recomputed in difference form from the gathered q, exactly like the
+unfused path. A "highest" mode runs the NN contraction in full f32.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_L8 = 8  # f32 lane padding for coordinate arrays
+_L16 = 16  # bf16 lane padding for the packed NN contraction
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _split_hi_lo(x: jnp.ndarray):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _chol6_solve(h, g):
+    """Unrolled 6x6 Cholesky solve of H xi = -g on scalars.
+
+    h: 6x6 nested list of scalar values, g: list of 6 scalars.
+    Returns xi as a list of 6 scalars. NaN-guarding is done by the caller
+    (mirrors icp.point_to_plane.solve_increment's finite check).
+    """
+    L = [[jnp.float32(0.0)] * 6 for _ in range(6)]
+    for j in range(6):
+        s = h[j][j]
+        for k in range(j):
+            s = s - L[j][k] * L[j][k]
+        # guard: a non-positive pivot yields NaN -> caught by the caller's
+        # finite check, same as jnp.linalg.cholesky would
+        L[j][j] = jnp.sqrt(s)
+        inv = 1.0 / L[j][j]
+        for i in range(j + 1, 6):
+            s = h[i][j]
+            for k in range(j):
+                s = s - L[i][k] * L[j][k]
+            L[i][j] = s * inv
+    # forward: L y = -g
+    y = [jnp.float32(0.0)] * 6
+    for i in range(6):
+        s = -g[i]
+        for k in range(i):
+            s = s - L[i][k] * y[k]
+        y[i] = s / L[i][i]
+    # backward: L^T xi = y
+    xi = [jnp.float32(0.0)] * 6
+    for i in reversed(range(6)):
+        s = y[i]
+        for k in range(i + 1, 6):
+            s = s - L[k][i] * xi[k]
+        xi[i] = s / L[i][i]
+    return xi
+
+
+def _se3_exp_scalars(xi):
+    """se3.exp on scalars: xi = [rho(3), phi(3)] -> (R 3x3 lists, t 3 list).
+
+    Matches core.se3.exp including the small-angle Taylor branches.
+    """
+    rho, phi = xi[:3], xi[3:]
+    t2 = phi[0] * phi[0] + phi[1] * phi[1] + phi[2] * phi[2]
+    theta = jnp.sqrt(t2 + jnp.float32(1e-16))
+    small = t2 < 1e-8
+    A = jnp.where(small, 1.0 - t2 / 6.0, jnp.sin(theta) / theta)
+    B = jnp.where(small, 0.5 - t2 / 24.0, (1.0 - jnp.cos(theta)) / jnp.maximum(t2, 1e-16))
+    C = jnp.where(
+        small, 1.0 / 6.0 - t2 / 120.0,
+        (theta - jnp.sin(theta)) / jnp.maximum(t2 * theta, 1e-24),
+    )
+    wx, wy, wz = phi
+    W = [[jnp.float32(0.0), -wz, wy], [wz, jnp.float32(0.0), -wx],
+         [-wy, wx, jnp.float32(0.0)]]
+    W2 = [[W[i][0] * W[0][j] + W[i][1] * W[1][j] + W[i][2] * W[2][j]
+           for j in range(3)] for i in range(3)]
+    eye = [[jnp.float32(1.0 if i == j else 0.0) for j in range(3)]
+           for i in range(3)]
+    R = [[eye[i][j] + A * W[i][j] + B * W2[i][j] for j in range(3)]
+         for i in range(3)]
+    V = [[eye[i][j] + B * W[i][j] + C * W2[i][j] for j in range(3)]
+         for i in range(3)]
+    t = [V[i][0] * rho[0] + V[i][1] * rho[1] + V[i][2] * rho[2]
+         for i in range(3)]
+    return R, t
+
+
+def _icp_kernel(
+    # static python params baked via functools.partial
+    params,
+    # scalar-prefetch style inputs (SMEM): r_gate etc.
+    rgate_ref,
+    # VMEM inputs
+    src_ref,    # (Mp, 8) f32: [x, y, z, 1, 0...] valid; padded rows zero
+    smask_ref,  # (1, Mp) f32 source validity
+    dstc_ref,   # (Np, 8) f32 RECENTERED model coords [x, y, z, 0...]
+    nrm_ref,    # (Np, 8) f32 model normals
+    baug_ref,   # (Np, 16) bf16 packed model lanes (d^2 trick) — bf16 mode
+    bsq_ref,    # (1, Np) f32 ||b||^2 of recentered model — highest mode
+    initT_ref,  # (8, 8) f32, top-left 4x4 = initial T (recentered frame)
+    # outputs
+    outT_ref,   # (8, 8) f32
+    stats_ref,  # (1, 8) f32: [rmse, iters, n_inl, converged, 0...]
+    # scratch
+    T_ref,      # (8, 8) f32 current transform
+    cur_ref,    # (Mp, 8) f32 transformed source
+    aaug_ref,   # (Mp, 16) bf16 packed source lanes
+    best_ref,   # (1, Mp) f32 running best NN score
+    bestj_ref,  # (1, Mp) int32 running best model row
+    h_ref,      # (8, 8) f32 normal equations accumulator
+    sg_ref,     # (1, 16) f32 [g(6) | wsum, wd2, ninl, ...] accumulator
+):
+    (tile_m, tile_n, mp, np_, max_iters, tol, tol_update, max_d2, huber,
+     damping, step_scale, max_step_trans, max_step_rot, min_inliers,
+     precision) = params
+    nmt = mp // tile_m
+    nnt = np_ // tile_n
+    f32 = jnp.float32
+
+    T_ref[:, :] = initT_ref[:, :]
+    r_gate = rgate_ref[0]
+    # recenter offset c: cur is in the SHIFTED frame; the coverage gate is
+    # measured from the sensor origin of the ORIGINAL frame, i.e. on cur + c
+    c0, c1, c2 = rgate_ref[1], rgate_ref[2], rgate_ref[3]
+
+    lane_xyz = (jax.lax.broadcasted_iota(jnp.int32, (1, _L8), 1) < 3
+                ).astype(f32)  # [1,1,1,0,...]
+
+    def one_iteration(prev_rmse):
+        # ---- 1. transform: cur = src4 @ T^T (contract lane dims) ----------
+        cur = jax.lax.dot_general(
+            src_ref[:, :], T_ref[:, :],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (Mp, 8): [x', y', z', 1, 0...]
+        cur = cur * lane_xyz  # zero the homogeneous/pad lanes
+        cur_ref[:, :] = cur
+
+        # ---- 2. pack source lanes for the NN contraction ------------------
+        if precision == "bf16":
+            a_hi, a_lo = _split_hi_lo(cur)
+            asq = jnp.sum(cur * cur, axis=1, keepdims=True)  # (Mp, 1)
+            asq_hi, asq_lo = _split_hi_lo(asq)
+            two = jnp.bfloat16(-2.0)
+            one = jnp.ones_like(asq_hi)
+            # lane layout MUST mirror nn_pallas bf16 packing:
+            #   a: [-2a_hi(3), -2a_lo(3), -2a_hi(3), asq_hi, asq_lo, 1, 1]
+            #   b: [ b_hi(3),   b_hi(3),   b_lo(3),  1,      1, bsq_hi, bsq_lo]
+            aaug_ref[:, 0:3] = two * a_hi[:, 0:3]
+            aaug_ref[:, 3:6] = two * a_lo[:, 0:3]
+            aaug_ref[:, 6:9] = two * a_hi[:, 0:3]
+            aaug_ref[:, 9:10] = asq_hi
+            aaug_ref[:, 10:11] = asq_lo
+            aaug_ref[:, 11:12] = one
+            aaug_ref[:, 12:13] = one
+            aaug_ref[:, 13:16] = jnp.zeros_like(a_hi[:, 0:3])
+        # highest mode reads cur_ref directly in the NN tiles (f32 end to
+        # end); routing through the bf16 aaug scratch would silently lose
+        # the precision the mode promises
+
+        # ---- 3. tiled NN argmin over the model ----------------------------
+        def src_tile(i, _):
+            def dst_tile(j, _):
+                if precision == "bf16":
+                    a_tile = aaug_ref[pl.ds(i * tile_m, tile_m), :]
+                    b_tile = baug_ref[pl.ds(j * tile_n, tile_n), :]
+                    e = jax.lax.dot_general(
+                        a_tile, b_tile,
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.DEFAULT,
+                    )  # (TM, TN) ≈ d^2 directly
+                else:
+                    # e = ||b||^2 - 2 a·b (row-constant ||a||^2 omitted —
+                    # argmin-invariant), all f32
+                    a_tile = cur_ref[pl.ds(i * tile_m, tile_m), :]
+                    e = jax.lax.dot_general(
+                        a_tile,
+                        dstc_ref[pl.ds(j * tile_n, tile_n), :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    e = (bsq_ref[0, pl.ds(j * tile_n, tile_n)][None, :]
+                         - 2.0 * e)
+                lb = jnp.min(e, axis=1)  # (TM,)
+                la = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tile_n
+
+                def init():
+                    best_ref[0, pl.ds(i * tile_m, tile_m)] = lb
+                    bestj_ref[0, pl.ds(i * tile_m, tile_m)] = la
+
+                def fold():
+                    prev = best_ref[0, pl.ds(i * tile_m, tile_m)]
+                    take = lb < prev
+                    best_ref[0, pl.ds(i * tile_m, tile_m)] = jnp.where(
+                        take, lb, prev)
+                    pj = bestj_ref[0, pl.ds(i * tile_m, tile_m)]
+                    bestj_ref[0, pl.ds(i * tile_m, tile_m)] = jnp.where(
+                        take, la, pj)
+
+                jax.lax.cond(j == 0, init, fold)
+                return 0
+
+            jax.lax.fori_loop(0, nnt, dst_tile, 0, unroll=False)
+            return 0
+
+        jax.lax.fori_loop(0, nmt, src_tile, 0, unroll=False)
+
+        # ---- 4. gather correspondences + build weights, 5. GN -------------
+        def gn_tile(i, _):
+            sl = pl.ds(i * tile_m, tile_m)
+            arg = bestj_ref[0, sl]  # (TM,) rows into the model
+            q = dstc_ref[:][arg, :]  # (TM, 8) in-kernel dynamic gather
+            n = nrm_ref[:][arg, :]
+            p = cur_ref[sl, :]
+            d = (p - q) * lane_xyz
+            d2 = jnp.sum(d * d, axis=1)  # f32 difference form, (TM,)
+            w = (d2 <= max_d2).astype(f32) * smask_ref[0, sl]
+            # coverage gate: scan points beyond the model's coverage radius
+            # must not latch onto its boundary (slam.scan_to_map). Measured
+            # in the ORIGINAL sensor frame: ||cur + c||.
+            g0 = p[:, 0] + c0
+            g1 = p[:, 1] + c1
+            g2 = p[:, 2] + c2
+            pn2 = g0 * g0 + g1 * g1 + g2 * g2
+            w = w * (pn2 <= r_gate * r_gate).astype(f32)
+            n_inl_t = w  # inlier indicator BEFORE Huber downweighting
+            if huber > 0.0:
+                dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
+                w = w * jnp.minimum(1.0, huber / dist)
+            px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+            nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
+            cx = py * nz - pz * ny
+            cy = pz * nx - px * nz
+            cz = px * ny - py * nx
+            r = d[:, 0] * nx + d[:, 1] * ny + d[:, 2] * nz
+            zero = jnp.zeros_like(px)
+            J = jnp.stack([nx, ny, nz, cx, cy, cz, zero, zero], axis=1)
+            Jw = J * w[:, None]
+            h_tile = jax.lax.dot_general(
+                J, Jw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )
+            # stats lanes: [g(6) | wsum, wd2] via ONE contraction: S columns
+            # = [J*w*r (6) | w, w*d2] summed over rows by a ones-vector dot
+            wr = w * r
+            S = jnp.stack(
+                [nx * wr, ny * wr, nz * wr, cx * wr, cy * wr, cz * wr,
+                 w, w * d2, n_inl_t, zero, zero, zero, zero, zero, zero,
+                 zero],
+                axis=1,
+            )  # (TM, 16)
+            ones = jnp.ones((1, tile_m), f32)
+            s_tile = jax.lax.dot_general(
+                ones, S, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )  # (1, 16)
+
+            def init():
+                h_ref[:, :] = h_tile
+                sg_ref[:, :] = s_tile
+
+            def fold():
+                h_ref[:, :] += h_tile
+                sg_ref[:, :] += s_tile
+
+            jax.lax.cond(i == 0, init, fold)
+            return 0
+
+        jax.lax.fori_loop(0, nmt, gn_tile, 0, unroll=False)
+
+        # ---- 6. damped Cholesky solve on scalars --------------------------
+        h = [[h_ref[i, j] for j in range(6)] for i in range(6)]
+        g = [sg_ref[0, j] for j in range(6)]
+        wsum = jnp.maximum(sg_ref[0, 6], 1e-12)
+        wd2 = sg_ref[0, 7]
+        n_inl = sg_ref[0, 8]
+        trace = h[0][0] + h[1][1] + h[2][2] + h[3][3] + h[4][4] + h[5][5]
+        lam = damping * jnp.maximum(trace / 6.0, 1.0)
+        for k in range(6):
+            h[k][k] = h[k][k] + lam
+        xi = _chol6_solve(h, g)
+        finite = jnp.bool_(True)
+        for k in range(6):
+            finite = jnp.logical_and(finite, jnp.isfinite(xi[k]))
+        xi = [jnp.where(finite, x, 0.0) for x in xi]
+        # trust clamps (match solve_increment: translation first, then rot,
+        # both scaling the WHOLE step)
+        if max_step_trans > 0.0:
+            tn = jnp.sqrt(xi[0] ** 2 + xi[1] ** 2 + xi[2] ** 2)
+            s = jnp.minimum(1.0, max_step_trans / jnp.maximum(tn, 1e-12))
+            xi = [x * s for x in xi]
+        if max_step_rot > 0.0:
+            wn = jnp.sqrt(xi[3] ** 2 + xi[4] ** 2 + xi[5] ** 2)
+            s = jnp.minimum(1.0, max_step_rot / jnp.maximum(wn, 1e-12))
+            xi = [x * s for x in xi]
+        if step_scale != 1.0:
+            # exp(beta * log(exp(xi))) == exp(beta * xi)
+            xi = [x * jnp.float32(step_scale) for x in xi]
+        # min-inlier guard: hold the pose
+        ok = n_inl >= jnp.float32(max(min_inliers, 4))
+        xi = [jnp.where(ok, x, 0.0) for x in xi]
+
+        # ---- 7. T = exp(xi) @ T on scalars --------------------------------
+        R, t = _se3_exp_scalars(xi)
+        Told = [[T_ref[i, j] for j in range(4)] for i in range(4)]
+        for i in range(3):
+            for j in range(4):
+                T_ref[i, j] = (R[i][0] * Told[0][j] + R[i][1] * Told[1][j]
+                               + R[i][2] * Told[2][j]
+                               + t[i] * Told[3][j])
+
+        # ---- 8. convergence ----------------------------------------------
+        rmse = jnp.sqrt(wd2 / wsum)
+        conv = jnp.abs(prev_rmse - rmse) < tol
+        if tol_update > 0.0:
+            # step magnitude of dT: ||dT_t|| + ||dT_R - I||_F
+            tmag = jnp.sqrt(sum(t[i] ** 2 for i in range(3)))
+            rfro = jnp.sqrt(sum(
+                (R[i][j] - (1.0 if i == j else 0.0)) ** 2
+                for i in range(3) for j in range(3)))
+            conv = jnp.logical_or(conv, tmag + rfro < tol_update)
+        return rmse, conv, n_inl
+
+    def loop_cond(carry):
+        it, _, conv, _ = carry
+        return jnp.logical_and(it < max_iters, jnp.logical_not(conv))
+
+    def loop_body(carry):
+        it, prev_rmse, _, _ = carry
+        rmse, conv, n_inl = one_iteration(prev_rmse)
+        return it + 1, rmse, conv, n_inl
+
+    it, rmse, conv, n_inl = jax.lax.while_loop(
+        loop_cond, loop_body,
+        (jnp.int32(0), jnp.float32(jnp.inf), jnp.bool_(False),
+         jnp.float32(0.0)),
+    )
+
+    outT_ref[:, :] = T_ref[:, :]
+    stats_ref[0, 0] = rmse
+    stats_ref[0, 1] = it.astype(f32)
+    stats_ref[0, 2] = n_inl
+    stats_ref[0, 3] = conv.astype(f32)
+    stats_ref[0, 4:8] = jnp.zeros((4,), f32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iters", "tol", "tol_update", "max_corr_dist", "huber_delta",
+        "damping", "step_scale", "max_step_trans", "max_step_rot",
+        "min_inliers", "precision", "tile_m", "tile_n", "interpret",
+    ),
+)
+def icp_fused_pallas(
+    src_pts: jnp.ndarray,   # (M, 3) f32 scan in the (predicted) sensor frame
+    src_mask: jnp.ndarray,  # (M,) bool
+    dst_pts: jnp.ndarray,   # (N, 3) f32 model, same frame; invalid rows ~1e6
+    dst_nrm: jnp.ndarray,   # (N, 3) f32 model normals
+    dst_mask: jnp.ndarray,  # (N,) bool
+    init_T: jnp.ndarray | None = None,  # (4, 4) f32
+    r_gate: jnp.ndarray | float = 1e9,  # coverage-gate radius (0 disables all)
+    *,
+    max_iters: int = 6,
+    tol: float = 1e-5,
+    tol_update: float = 0.01,
+    max_corr_dist: float = 1.5,
+    huber_delta: float = 0.3,
+    damping: float = 1e-3,
+    step_scale: float = 1.4,
+    max_step_trans: float = 1.0,
+    max_step_rot: float = 0.3,
+    min_inliers: int = 50,
+    precision: str = "bf16",
+    tile_m: int = 1024,
+    tile_n: int = 2048,
+    interpret: bool | None = None,
+):
+    """Whole-loop fused point-to-plane ICP. Returns (T, rmse, iters,
+    n_inliers, converged) matching icp.loop's ICPResult fields.
+
+    The model (dst) is recentered on its valid bounding-box midpoint for
+    the bf16 NN contraction (argmin-invariant; see nn_pallas). GN runs in
+    the ORIGINAL (uncentered) frame — the p x n Jacobian block is not
+    shift-invariant — by carrying T in the recentered frame and conjugating
+    back at the end: T_orig = Shift(c) @ T_cent @ Shift(-c) would change
+    the optimization geometry, so instead both clouds are shifted and the
+    RESULT is exact because ICP on jointly-shifted clouds yields
+    T_orig = Shift(c) @ T_cent @ Shift(-c) — the returned transform is
+    conjugated accordingly. The GN linearization point differs from the
+    unfused path by the shift (p x n vs (p-c) x n rows); both are valid
+    Gauss-Newton parameterizations of the same least-squares problem and
+    converge to the same pose (equivalence is tested to f32 tolerance at
+    convergence, not per-iteration).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m = src_pts.shape[0]
+    n = dst_pts.shape[0]
+    f32 = jnp.float32
+    src_pts = src_pts.astype(f32)
+    dst_pts = dst_pts.astype(f32)
+    dst_nrm = dst_nrm.astype(f32)
+    T0 = jnp.eye(4, dtype=f32) if init_T is None else init_T.astype(f32)
+
+    tile_m_ = min(tile_m, _round_up(m, 8))
+    tile_n_ = min(tile_n, _round_up(n, 128))
+    mp = _round_up(m, tile_m_)
+    np_ = _round_up(n, tile_n_)
+
+    # recenter both clouds on the valid-model bbox midpoint (bf16 range fix)
+    valid = jnp.all(jnp.abs(dst_pts) < 1.0e5, axis=1) & dst_mask
+    big = f32(3.0e38)
+    vcol = valid[:, None]
+    lo = jnp.min(jnp.where(vcol, dst_pts, big), axis=0)
+    hi = jnp.max(jnp.where(vcol, dst_pts, -big), axis=0)
+    c = jnp.where(jnp.any(valid), 0.5 * (lo + hi), 0.0)
+
+    dstc = jnp.where(vcol, dst_pts - c, 1.0e6)
+    srcc = src_pts - c
+    # conjugate the initial transform into the shifted frame:
+    # x' = x - c; T_cent = Shift(-c) T Shift(c)
+    T0c = T0.at[:3, 3].set(T0[:3, 3] + T0[:3, :3] @ c - c)
+    # SMEM scalars: [r_gate, cx, cy, cz] — the kernel gates coverage on
+    # ||cur + c|| (the point's position in the ORIGINAL sensor frame)
+    rg = jnp.concatenate(
+        [jnp.asarray(r_gate, f32).reshape(1), c.astype(f32)])
+
+    # pad + lane-expand
+    def pad8(x, rows, fill=0.0):
+        x = jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)),
+                    constant_values=fill)
+        return jnp.pad(x, ((0, 0), (0, _L8 - x.shape[1])))
+
+    src8 = pad8(srcc, mp)
+    # homogeneous lane = 1 for ALL rows (padded rows are masked by smask)
+    src8 = src8.at[:, 3].set(1.0)
+    smask = jnp.pad(src_mask.astype(f32), (0, mp - m)).reshape(1, mp)
+    dst8 = pad8(dstc, np_, fill=1.0e6)
+    # the gather must never see lane garbage in 3..7: zero them
+    dst8 = dst8 * (jax.lax.broadcasted_iota(jnp.int32, (1, _L8), 1) < 3)
+    nrm8 = pad8(jnp.where(vcol, dst_nrm, 0.0), np_)
+
+    # bf16 packed model lanes (mirrors nn_pallas)
+    b_hi, b_lo = _split_hi_lo(dst8[:, :3])
+    bsq32 = jnp.sum(dst8 * dst8, axis=1, keepdims=True)
+    bsq_hi, bsq_lo = _split_hi_lo(bsq32)
+    oneb = jnp.ones_like(bsq_hi)
+    baug = jnp.concatenate(
+        [b_hi, b_hi, b_lo, oneb, oneb, bsq_hi, bsq_lo], axis=1)
+    baug = jnp.pad(baug, ((0, 0), (0, _L16 - baug.shape[1])))
+    bsq = bsq32.reshape(1, np_)
+
+    params = (
+        tile_m_, tile_n_, mp, np_, max_iters, float(tol), float(tol_update),
+        float(max_corr_dist) ** 2, float(huber_delta), float(damping),
+        float(step_scale), float(max_step_trans), float(max_step_rot),
+        int(min_inliers), precision,
+    )
+    outT, stats = pl.pallas_call(
+        functools.partial(_icp_kernel, params),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((_L8, _L8), f32),
+            jax.ShapeDtypeStruct((1, _L8), f32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_L8, _L8), f32),      # T
+            pltpu.VMEM((mp, _L8), f32),       # cur
+            pltpu.VMEM((mp, _L16), jnp.bfloat16),  # aaug
+            pltpu.VMEM((1, mp), f32),         # best
+            pltpu.VMEM((1, mp), jnp.int32),   # bestj
+            pltpu.VMEM((_L8, _L8), f32),      # H
+            pltpu.VMEM((1, _L16), f32),       # g/stats
+        ],
+        interpret=interpret,
+    )(rg, src8, smask, dst8, nrm8, baug, bsq,
+      jnp.zeros((_L8, _L8), f32).at[:4, :4].set(T0c))
+
+    Tc = outT[:4, :4]
+    # conjugate back: T = Shift(c) T_cent Shift(-c)
+    T = Tc.at[:3, 3].set(Tc[:3, 3] - Tc[:3, :3] @ c + c)
+    rmse = stats[0, 0]
+    iters = stats[0, 1].astype(jnp.int32)
+    n_inl = stats[0, 2].astype(jnp.int32)
+    conv = stats[0, 3] > 0.5
+    return T, rmse, iters, n_inl, conv

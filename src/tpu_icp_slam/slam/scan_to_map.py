@@ -28,7 +28,12 @@ import jax.numpy as jnp
 from tpu_icp_slam.config import SlamConfig
 from tpu_icp_slam.core import se3
 from tpu_icp_slam.core.pointcloud import PointCloud
-from tpu_icp_slam.icp.loop import _nn_correspondence, align_with_correspondence
+from tpu_icp_slam.icp.loop import (
+    ICPResult,
+    _nn_correspondence,
+    align_with_correspondence,
+)
+from tpu_icp_slam.kernels.icp_fused_pallas import icp_fused_pallas
 from tpu_icp_slam.mapping import voxel_map
 from tpu_icp_slam.mapping.normals import normals_knn
 
@@ -66,29 +71,10 @@ class ScanToMapPipeline:
         self._fused = jax.jit(functools.partial(_fused_run, cfg=cfg))
 
     def init_state(self, first_points, first_mask) -> MapOdomState:
-        m = self.cfg.mapping
-        pts = jnp.asarray(first_points, jnp.float32)
-        msk = jnp.asarray(first_mask)
-        vm = voxel_map.create(m.map_capacity)
-        nrm = normals_knn(
-            pts, msk, k=self.cfg.pipeline.normal_k,
-            ref_stride=self.cfg.pipeline.normal_ref_stride,
-        )
-        vm = voxel_map.insert(vm, pts, msk, nrm, voxel=m.map_voxel)
-        size = m.local_model_size
-        return MapOdomState(
-            pose=jnp.eye(4, dtype=jnp.float32),
-            T_rel=jnp.eye(4, dtype=jnp.float32),
-            last_kf_pose=jnp.eye(4, dtype=jnp.float32),
-            vmap=vm,
-            frame=jnp.asarray(0, jnp.int32),
-            n_keyframes=jnp.asarray(1, jnp.int32),
-            loc_pts=jnp.full((size, 3), 1.0e6, jnp.float32),
-            loc_nrm=jnp.zeros((size, 3), jnp.float32),
-            loc_msk=jnp.zeros((size,), bool),
-            r_cover=jnp.asarray(0.0, jnp.float32),
-            extract_center=jnp.zeros(3, jnp.float32),
-            need_extract=jnp.asarray(True),
+        return init_state(
+            jnp.asarray(first_points, jnp.float32),
+            jnp.asarray(first_mask),
+            self.cfg,
         )
 
     def step(self, state: MapOdomState, points, mask):
@@ -98,6 +84,33 @@ class ScanToMapPipeline:
         return self._fused(
             state, jnp.asarray(all_points, jnp.float32), jnp.asarray(all_masks)
         )
+
+
+def init_state(first_points, first_mask, cfg: SlamConfig) -> MapOdomState:
+    """Build the frame-0 state: map seeded with the first scan, identity
+    pose. Traceable (multi_seq calls it under shard_map/lax.map)."""
+    m = cfg.mapping
+    vm = voxel_map.create(m.map_capacity)
+    nrm = normals_knn(
+        first_points, first_mask, k=cfg.pipeline.normal_k,
+        ref_stride=cfg.pipeline.normal_ref_stride,
+    )
+    vm = voxel_map.insert(vm, first_points, first_mask, nrm, voxel=m.map_voxel)
+    size = m.local_model_size
+    return MapOdomState(
+        pose=jnp.eye(4, dtype=jnp.float32),
+        T_rel=jnp.eye(4, dtype=jnp.float32),
+        last_kf_pose=jnp.eye(4, dtype=jnp.float32),
+        vmap=vm,
+        frame=jnp.asarray(0, jnp.int32),
+        n_keyframes=jnp.asarray(1, jnp.int32),
+        loc_pts=jnp.full((size, 3), 1.0e6, jnp.float32),
+        loc_nrm=jnp.zeros((size, 3), jnp.float32),
+        loc_msk=jnp.zeros((size,), bool),
+        r_cover=jnp.asarray(0.0, jnp.float32),
+        extract_center=jnp.zeros(3, jnp.float32),
+        need_extract=jnp.asarray(True),
+    )
 
 
 def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
@@ -167,17 +180,37 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     # coverage gate: scan points beyond the local model's radius have no
     # genuine counterpart and would latch onto the model boundary, dragging
     # the solve — zero their weight instead (sensor origin ≈ model center)
-    nn_corr = _nn_correspondence(cfg.icp, dst)
     # stale_off: with hysteresis the model is centered up to that far from
     # the sensor, so the guaranteed-coverage radius shrinks by it
     r_gate = jnp.maximum(r_cover - stale_off - cfg.icp.max_corr_dist, 0.0)
+    if cfg.icp.loop_backend == "fused" and cfg.icp.method == "point_to_plane":
+        # whole-loop fused Pallas ICP: one kernel launch per align — removes
+        # the per-while_loop-iteration backend control floor (BASELINE.md r3
+        # SOL decomposition: ~0.55 ms/iteration of non-kernel time)
+        ic = cfg.icp
+        T, rmse, iters, n_inl, conv = icp_fused_pallas(
+            points, mask, loc_local, nrm_local, loc_msk,
+            init_T=None, r_gate=r_gate,
+            max_iters=ic.max_iters, tol=ic.tol, tol_update=ic.tol_update,
+            max_corr_dist=ic.max_corr_dist, huber_delta=ic.huber_delta,
+            damping=ic.damping, step_scale=ic.step_scale,
+            max_step_trans=ic.max_step_trans, max_step_rot=ic.max_step_rot,
+            min_inliers=ic.min_inliers,
+            precision=("bf16" if ic.nn_precision == "bf16" else "highest"),
+            tile_m=ic.nn_tile_m or 1024, tile_n=ic.nn_tile_n or 2048,
+        )
+        res = ICPResult(
+            T=T, rmse=rmse, iters=iters, n_inliers=n_inl, converged=conv
+        )
+    else:
+        nn_corr = _nn_correspondence(cfg.icp, dst)
 
-    def corr(cur_pts):
-        q, n, gate, d2 = nn_corr(cur_pts)
-        in_cover = jnp.sum(cur_pts * cur_pts, axis=-1) <= r_gate * r_gate
-        return q, n, gate * in_cover.astype(gate.dtype), d2
+        def corr(cur_pts):
+            q, n, gate, d2 = nn_corr(cur_pts)
+            in_cover = jnp.sum(cur_pts * cur_pts, axis=-1) <= r_gate * r_gate
+            return q, n, gate * in_cover.astype(gate.dtype), d2
 
-    res = align_with_correspondence(src, corr, None, cfg.icp)
+        res = align_with_correspondence(src, corr, None, cfg.icp)
     pose = init @ res.T  # world pose = prediction ∘ sensor-frame correction
     T_rel = se3.inverse(state.pose) @ pose
 

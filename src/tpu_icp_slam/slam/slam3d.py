@@ -23,6 +23,7 @@ import numpy as np
 from tpu_icp_slam.backend.loop_closure import LoopClosure, LoopDetector
 from tpu_icp_slam.backend import pose_graph as pg
 from tpu_icp_slam.config import SlamConfig
+from tpu_icp_slam.obs.transient import retry_transient
 from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
 
 
@@ -132,8 +133,11 @@ class Slam3D:
             kf_poses.append(pose)
             if cfg.backend.enabled:
                 # all candidates of this keyframe verify in ONE device
-                # dispatch (candidates × yaw-hypotheses nested vmap)
-                n, lcs = self.detector.verify_keyframe_candidates(
+                # dispatch (candidates × yaw-hypotheses nested vmap);
+                # re-issued on transient tunnel faults (obs/transient.py —
+                # an r3 endurance run died here on a transport error)
+                n, lcs = retry_transient(
+                    self.detector.verify_keyframe_candidates,
                     kf_idx, pts[f], msk[f], pts, msk,
                     kf_frames, kf_poses, pose,
                 )
@@ -160,8 +164,8 @@ class Slam3D:
             while f0 < len(pts):
                 f1 = min(f0 + chunk, len(pts))
                 t0 = _time.perf_counter()
-                state, infos = self.pipe.run_fused(
-                    state, pts[f0:f1], msk[f0:f1]
+                state, infos = retry_transient(
+                    self.pipe.run_fused, state, pts[f0:f1], msk[f0:f1]
                 )
                 all_poses = np.asarray(infos["pose"], np.float64)  # readback
                 kf_flags = np.asarray(infos["is_keyframe"])  # = honest fence
