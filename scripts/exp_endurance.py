@@ -84,14 +84,28 @@ def main() -> int:
     }), flush=True)
 
     t0 = time.perf_counter()
-    scans, gt = synthetic.velodyne_log(
-        n_frames=FRAMES, n_rings=48, n_azimuth=1024, seed=SEED,
-        waypoints=waypoints,
-    )
-    scans = [voxel_downsample_np(s, 0.15) for s in scans]
+    cache = os.environ.get("ENDURANCE_CACHE", "")
+    cache = cache and f"{cache}.f{FRAMES}.s{SEED}.npz"
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        gt = z["gt"]
+        scans = [z[f"s{i}"] for i in range(int(z["n"]))]
+    else:
+        scans, gt = synthetic.velodyne_log(
+            n_frames=FRAMES, n_rings=48, n_azimuth=1024, seed=SEED,
+            waypoints=waypoints,
+        )
+        scans = [voxel_downsample_np(s, 0.15) for s in scans]
+        if cache:
+            np.savez_compressed(
+                cache, gt=gt, n=len(scans),
+                **{f"s{i}": s.astype(np.float32)
+                   for i, s in enumerate(scans)})
     print(json.dumps({"gen_s": round(time.perf_counter() - t0, 1),
                       "mean_pts": int(np.mean([len(s) for s in scans]))}),
           flush=True)
+    if os.environ.get("ENDURANCE_GEN_ONLY"):  # precompute the scan cache
+        return 0
 
     # the r3 flagship config (bench.py _kitti_cfg winners, BASELINE.md)
     cfg = SlamConfig(

@@ -33,6 +33,21 @@ class ICPConfig:
     max_corr_dist: float = 1e9  # correspondence distance gate (meters)
     normal_gate_cos: float = -1.0  # reject pairs with normal dot < this
     damping: float = 1e-6  # Levenberg damping for the 6x6 GN solve
+    degen_eps: float = 0.0  # >0: degeneracy-aware solution remapping — zero
+    # the GN update along eigendirections of H with eigenvalue below
+    # degen_eps x the largest (the pose keeps its motion-model prediction
+    # there). Expert opt-in, DEFAULT OFF: measured on the multisession
+    # corridor routes it made things WORSE (froze translation entirely —
+    # see point_to_plane.solve_increment docstring). point_to_plane steps
+    # path only (the fused loop kernel has no 6x6 eigensolver).
+    prior_trans_weight: float = 0.0  # >0: motion-model prior — a Tikhonov
+    # term anchoring the solve at the ICP's init pose (= the motion-model
+    # prediction in scan_to_map), weight in units of summed point weights
+    # (an inlier constrains a translation axis by ~|n·e|²≈1/3). Negligible
+    # in observed directions (H diag ~ hundreds), dominant exactly where H
+    # is degenerate (corridor travel axis) — the well-behaved alternative
+    # to degen_eps remapping. point_to_plane only.
+    prior_rot_weight: float = 0.0  # same, rotation block (units ~ w·|p×n|²)
     step_scale: float = 1.0  # >1: over-relax each ICP update (Besl-McKay-style
     # extrapolation; plain ICP undershoots because correspondences lag)
     anderson: bool = False  # AA(1) acceleration of the fixed-point iteration

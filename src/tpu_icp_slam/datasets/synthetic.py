@@ -473,6 +473,7 @@ def velodyne_log(
     n_boxes: int = 48,
     path_fraction: float = 1.0,
     waypoints=None,
+    route_clearance: float = 1.0,
 ):
     """Simulate a vehicle driving through a 3D world of walls + ground + clutter.
 
@@ -480,6 +481,13 @@ def velodyne_log(
     (~1 m/frame, KITTI-like) inter-frame motion instead of giant hops.
     `waypoints` (K, 2) overrides the built-in route (e.g. a compact loop
     whose full circuit fits a small frame budget at ~1 m/frame).
+    `route_clearance` drops clutter boxes whose footprint comes within that
+    many meters of the route: a vehicle does not drive THROUGH parked cars.
+    (r3 root-cause: the multisession demo's y=-4/-2 lanes pass through the
+    ±2.5–5 m clutter band; every seed drove the sensor through 8–15 box
+    interiors, and the point-blank box-interior scans are what made
+    per-seed front-end divergence a lottery. The built-in y=0 routes never
+    intersect clutter, so their scans are unchanged by the default.)
     Returns (scans: list[(N_i, 3) float64 in sensor frame], gt_poses: (F,4,4)).
     """
     rng = np.random.default_rng(seed)
@@ -507,6 +515,26 @@ def velodyne_log(
     # (short logs) or collapse turn bulbs into cusps (long logs).
     xy = _round_and_resample(xy, n_frames)
     heading = np.arctan2(*np.flip(np.gradient(xy, axis=0), axis=1).T)
+
+    if boxes2d is not None and route_clearance > 0.0 and len(boxes2d):
+        # densify the route to ~0.5 m samples so no box hides between frames
+        seg = np.linalg.norm(np.diff(xy, axis=0), axis=1)
+        cum = np.concatenate([[0], np.cumsum(seg)])
+        sd = np.linspace(0, cum[-1], max(int(cum[-1] / 0.5), 2))
+        route = np.stack(
+            [np.interp(sd, cum, xy[:, i]) for i in range(2)], axis=1)
+        keep = []
+        rects = boxes2d.reshape(-1, 4, 4)  # (n_boxes, 4 segs, 4)
+        for r in rects:
+            xs = np.concatenate([r[:, 0], r[:, 2]])
+            ys = np.concatenate([r[:, 1], r[:, 3]])
+            x0, x1, y0, y1 = xs.min(), xs.max(), ys.min(), ys.max()
+            dx = np.maximum(np.maximum(x0 - route[:, 0], route[:, 0] - x1), 0)
+            dy = np.maximum(np.maximum(y0 - route[:, 1], route[:, 1] - y1), 0)
+            keep.append(np.min(np.hypot(dx, dy)) >= route_clearance)
+        boxes2d = rects[np.asarray(keep)].reshape(-1, 4)
+        if not len(boxes2d):
+            boxes2d = None
 
     elev = np.linspace(-0.30, 0.08, n_rings)  # radians
     azim = np.linspace(-np.pi, np.pi, n_azimuth, endpoint=False)

@@ -115,6 +115,10 @@ def align_with_correspondence(
     else:
         from tpu_icp_slam.core import se2 as _lie
     k_twist = 6 if d == 3 else 3
+    # prior anchor: inverse of the init pose, built once outside the loop
+    _T0_inv = jnp.linalg.inv(T0) if (
+        cfg.prior_trans_weight > 0.0 or cfg.prior_rot_weight > 0.0
+    ) else None
 
     def body(state):
         T, prev_rmse, _, it, _, _, f_prev, g_prev = state
@@ -137,12 +141,29 @@ def align_with_correspondence(
                     if _jax.default_backend() in ("tpu", "axon")
                     else "xla"
                 )
+            prior_w = xi_prior = None
+            if cfg.prior_trans_weight > 0.0 or cfg.prior_rot_weight > 0.0:
+                # motion-model prior, anchored at the init pose T0 (= the
+                # prediction in scan_to_map): cost λ/2‖xi + log(T·T0⁻¹)‖²
+                # per axis. First-order BCH linearization of
+                # ‖log(exp(xi)·T·T0⁻¹)‖² — exact enough at per-iteration
+                # step sizes; holds degenerate directions at the prediction
+                # instead of letting them follow correspondence noise.
+                prior_w = jnp.asarray(
+                    [cfg.prior_trans_weight] * d
+                    + [cfg.prior_rot_weight] * (k_twist - d),
+                    dtype,
+                )
+                xi_prior = _lie.log(T @ _T0_inv)
             dT = gauss_newton_step(
                 cur, q, n, w,
                 damping=cfg.damping,
                 max_step_trans=cfg.max_step_trans,
                 max_step_rot=cfg.max_step_rot,
                 backend=gn_backend,
+                degen_eps=cfg.degen_eps,
+                prior_w=prior_w,
+                xi_prior=xi_prior,
             )
         else:
             dT = umeyama_masked(cur, q, w)

@@ -42,21 +42,65 @@ def solve_increment(
     damping: float,
     max_step_trans: float = 0.0,
     max_step_rot: float = 0.0,
+    degen_eps: float = 0.0,
+    prior_w=None,
+    xi_prior=None,
 ) -> jnp.ndarray:
     """Damped solve of H xi = -g with optional per-block trust clamps.
+
+    prior_w (k,) + xi_prior (k,) add a Tikhonov motion prior: cost
+    λ/2 ||xi + xi_prior||² per axis (xi_prior = current offset from the
+    anchor pose in twist coordinates) → H += diag(prior_w),
+    g += prior_w * xi_prior. Where the point geometry observes a direction
+    the prior is negligible; where it doesn't (H ≈ 0 there) the prior holds
+    the anchor. Applied BEFORE the degen_eps analysis so a prior-constrained
+    direction counts as observed.
 
     The clamps bound the translation / rotation magnitude of one GN step —
     the cheap jit-friendly trust region that stops near-degenerate normal
     equations (e.g. a corridor scene unconstrained along the travel axis)
     from launching the pose to infinity.
+
+    degen_eps > 0 enables degeneracy-aware solution remapping (Zhang &
+    Singh, "On Degeneracy of Optimization-based State Estimation"): the
+    update is solved in H's eigenbasis and ZEROED along eigendirections
+    whose eigenvalue is below degen_eps × the largest — directions the scan
+    geometry does not observe (corridor travel axis, map-frontier coverage
+    amputation). The pose keeps its initialization (= the motion-model
+    prediction) along them instead of following noise.
+
+    MEASURED CAVEAT (r3, why this defaults OFF): on the multisession
+    corridor routes a RELATIVE threshold (eps 0.02-0.05 × λ_max) froze
+    translation entirely — max position error = the full route length,
+    identical across seeds. λ_max is rotation-dominated (scales with the
+    squared point spread, ~(30 m)², different units from the translation
+    block), so 2% of it already dwarfs a legitimately-observable travel
+    axis; and since the damped-CV motion model bootstraps from ICP's own
+    estimates, zeroing that axis deadlocks the pose at rest. Use only with
+    a threshold calibrated to the translation block's scale, or with an
+    external odometry source feeding the prediction.
     """
     k = H.shape[0]
-    Hd = H + damping * jnp.eye(k, dtype=H.dtype) * jnp.maximum(
-        jnp.trace(H) / k, 1.0
-    )
-    L = jnp.linalg.cholesky(Hd)
-    y = jnp.linalg.solve(L, -g[:, None])
-    xi = jnp.linalg.solve(L.T, y)[:, 0]
+    if prior_w is not None:
+        H = H + jnp.diag(jnp.asarray(prior_w, H.dtype))
+        g = g + jnp.asarray(prior_w, g.dtype) * jnp.asarray(
+            xi_prior, g.dtype)
+    lam = damping * jnp.maximum(jnp.trace(H) / k, 1.0)
+    if degen_eps > 0.0:
+        # eigh of the UNdamped H: damping inflates the spectrum floor and
+        # would mask true degeneracy. The eigenbasis gives the damped solve
+        # for free: xi = -V diag(keep / (e + lam)) Vᵀ g
+        evals, V = jnp.linalg.eigh(H)
+        keep = (evals > degen_eps * jnp.maximum(evals[-1], 1e-12)).astype(
+            H.dtype
+        )
+        gv = V.T @ g
+        xi = -(V @ (keep * gv / (evals + lam)))
+    else:
+        Hd = H + lam * jnp.eye(k, dtype=H.dtype)
+        L = jnp.linalg.cholesky(Hd)
+        y = jnp.linalg.solve(L, -g[:, None])
+        xi = jnp.linalg.solve(L.T, y)[:, 0]
     # guard against NaNs from a singular system: fall back to zero update
     xi = jnp.where(jnp.all(jnp.isfinite(xi)), xi, jnp.zeros_like(xi))
     d = 3 if k == 6 else 2  # tangent layout: [t (d), w (k-d)]
@@ -78,6 +122,9 @@ def gauss_newton_step(
     max_step_trans: float = 0.0,
     max_step_rot: float = 0.0,
     backend: str = "xla",
+    degen_eps: float = 0.0,
+    prior_w=None,
+    xi_prior=None,
 ) -> jnp.ndarray:
     """One damped GN update: returns dT (D+1, D+1) to left-compose onto T.
 
@@ -91,5 +138,8 @@ def gauss_newton_step(
         H, g = gn_accum_pallas(p, q, n, w)
     else:
         H, g = build_normal_equations(p, q, n, w)
-    xi = solve_increment(H, g, damping, max_step_trans, max_step_rot)
+    xi = solve_increment(
+        H, g, damping, max_step_trans, max_step_rot, degen_eps=degen_eps,
+        prior_w=prior_w, xi_prior=xi_prior,
+    )
     return se3.exp(xi) if d == 3 else se2.exp(xi)

@@ -101,6 +101,44 @@ def _chol6_solve(h, g):
     return xi
 
 
+def _se3_log_scalars(R, t):
+    """se3.log on scalars: (R 3x3 lists, t 3 list) -> xi = [rho(3), phi(3)].
+
+    Matches core.se3.log including the small-angle branches. Used by the
+    in-kernel motion prior (cost λ/2‖log(T·T0⁻¹)‖², mirroring icp.loop's
+    prior_w/xi_prior path).
+    """
+    tr = R[0][0] + R[1][1] + R[2][2]
+    cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    t2 = theta * theta
+    small = t2 < 1e-8
+    # phi = theta/(2 sin theta) * vee(R - R^T); small-angle -> 0.5 * vee
+    s = jnp.sin(theta)
+    k = jnp.where(small, 0.5 + t2 / 12.0, theta / jnp.maximum(2.0 * s, 1e-12))
+    phi = [k * (R[2][1] - R[1][2]), k * (R[0][2] - R[2][0]),
+           k * (R[1][0] - R[0][1])]
+    # V^{-1} = I - 0.5 W + c W^2, c = (1 - A/(2B))/theta^2, small -> 1/12
+    A = jnp.where(small, 1.0 - t2 / 6.0, s / jnp.maximum(theta, 1e-12))
+    B = jnp.where(small, 0.5 - t2 / 24.0,
+                  (1.0 - jnp.cos(theta)) / jnp.maximum(t2, 1e-16))
+    c = jnp.where(small, 1.0 / 12.0,
+                  (1.0 - A / jnp.maximum(2.0 * B, 1e-12))
+                  / jnp.maximum(t2, 1e-16))
+    wx, wy, wz = phi
+    W = [[jnp.float32(0.0), -wz, wy], [wz, jnp.float32(0.0), -wx],
+         [-wy, wx, jnp.float32(0.0)]]
+    W2 = [[W[i][0] * W[0][j] + W[i][1] * W[1][j] + W[i][2] * W[2][j]
+           for j in range(3)] for i in range(3)]
+    eye = [[jnp.float32(1.0 if i == j else 0.0) for j in range(3)]
+           for i in range(3)]
+    Vinv = [[eye[i][j] - 0.5 * W[i][j] + c * W2[i][j] for j in range(3)]
+            for i in range(3)]
+    rho = [Vinv[i][0] * t[0] + Vinv[i][1] * t[1] + Vinv[i][2] * t[2]
+           for i in range(3)]
+    return rho + phi
+
+
 def _se3_exp_scalars(xi):
     """se3.exp on scalars: xi = [rho(3), phi(3)] -> (R 3x3 lists, t 3 list).
 
@@ -159,7 +197,7 @@ def _icp_kernel(
 ):
     (tile_m, tile_n, mp, np_, max_iters, tol, tol_update, max_d2, huber,
      damping, step_scale, max_step_trans, max_step_rot, min_inliers,
-     precision) = params
+     precision, prior_t, prior_r) = params
     nmt = mp // tile_m
     nnt = np_ // tile_n
     f32 = jnp.float32
@@ -321,6 +359,32 @@ def _icp_kernel(
         # ---- 6. damped Cholesky solve on scalars --------------------------
         h = [[h_ref[i, j] for j in range(6)] for i in range(6)]
         g = [sg_ref[0, j] for j in range(6)]
+        if prior_t > 0.0 or prior_r > 0.0:
+            # motion-model prior (mirrors icp.loop's prior_w/xi_prior):
+            # anchor = the init pose. Twist measured in the ORIGINAL
+            # (uncentered) frame: with X_cent = T_cent·T0c⁻¹ the original
+            # relative transform is S·X_cent·S⁻¹ (S = Shift(c)), i.e. same
+            # rotation, translation t_orig = t_x + c − R_x·c.
+            Tc_ = [[T_ref[i, j] for j in range(4)] for i in range(4)]
+            T0_ = [[initT_ref[i, j] for j in range(4)] for i in range(4)]
+            # T0c⁻¹ = [R0ᵀ | −R0ᵀ t0]
+            R0T = [[T0_[j][i] for j in range(3)] for i in range(3)]
+            t0i = [-(R0T[i][0] * T0_[0][3] + R0T[i][1] * T0_[1][3]
+                     + R0T[i][2] * T0_[2][3]) for i in range(3)]
+            Rx = [[Tc_[i][0] * R0T[0][j] + Tc_[i][1] * R0T[1][j]
+                   + Tc_[i][2] * R0T[2][j] for j in range(3)]
+                  for i in range(3)]
+            tx = [Tc_[i][0] * t0i[0] + Tc_[i][1] * t0i[1]
+                  + Tc_[i][2] * t0i[2] + Tc_[i][3] for i in range(3)]
+            cc = [c0, c1, c2]
+            t_orig = [tx[i] + cc[i]
+                      - (Rx[i][0] * cc[0] + Rx[i][1] * cc[1]
+                         + Rx[i][2] * cc[2]) for i in range(3)]
+            xi_cur = _se3_log_scalars(Rx, t_orig)
+            pw = [jnp.float32(prior_t)] * 3 + [jnp.float32(prior_r)] * 3
+            for k in range(6):
+                h[k][k] = h[k][k] + pw[k]
+                g[k] = g[k] + pw[k] * xi_cur[k]
         wsum = jnp.maximum(sg_ref[0, 6], 1e-12)
         wd2 = sg_ref[0, 7]
         n_inl = sg_ref[0, 8]
@@ -399,7 +463,8 @@ def _icp_kernel(
     static_argnames=(
         "max_iters", "tol", "tol_update", "max_corr_dist", "huber_delta",
         "damping", "step_scale", "max_step_trans", "max_step_rot",
-        "min_inliers", "precision", "tile_m", "tile_n", "interpret",
+        "min_inliers", "precision", "tile_m", "tile_n",
+        "prior_trans_weight", "prior_rot_weight", "interpret",
     ),
 )
 def icp_fused_pallas(
@@ -424,6 +489,8 @@ def icp_fused_pallas(
     precision: str = "bf16",
     tile_m: int = 1024,
     tile_n: int = 2048,
+    prior_trans_weight: float = 0.0,
+    prior_rot_weight: float = 0.0,
     interpret: bool | None = None,
 ):
     """Whole-loop fused point-to-plane ICP. Returns (T, rmse, iters,
@@ -506,6 +573,7 @@ def icp_fused_pallas(
         float(max_corr_dist) ** 2, float(huber_delta), float(damping),
         float(step_scale), float(max_step_trans), float(max_step_rot),
         int(min_inliers), precision,
+        float(prior_trans_weight), float(prior_rot_weight),
     )
     outT, stats = pl.pallas_call(
         functools.partial(_icp_kernel, params),

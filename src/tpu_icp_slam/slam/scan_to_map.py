@@ -183,7 +183,9 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     # stale_off: with hysteresis the model is centered up to that far from
     # the sensor, so the guaranteed-coverage radius shrinks by it
     r_gate = jnp.maximum(r_cover - stale_off - cfg.icp.max_corr_dist, 0.0)
-    if cfg.icp.loop_backend == "fused" and cfg.icp.method == "point_to_plane":
+    if (cfg.icp.loop_backend == "fused"
+            and cfg.icp.method == "point_to_plane"
+            and cfg.icp.degen_eps == 0.0):  # no 6x6 eigensolver in-kernel
         # whole-loop fused Pallas ICP: one kernel launch per align — removes
         # the per-while_loop-iteration backend control floor (BASELINE.md r3
         # SOL decomposition: ~0.55 ms/iteration of non-kernel time)
@@ -198,6 +200,8 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
             min_inliers=ic.min_inliers,
             precision=("bf16" if ic.nn_precision == "bf16" else "highest"),
             tile_m=ic.nn_tile_m or 1024, tile_n=ic.nn_tile_n or 2048,
+            prior_trans_weight=ic.prior_trans_weight,
+            prior_rot_weight=ic.prior_rot_weight,
         )
         res = ICPResult(
             T=T, rmse=rmse, iters=iters, n_inliers=n_inl, converged=conv

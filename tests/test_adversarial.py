@@ -208,3 +208,28 @@ def test_vertical_sparsity_3d_tracking():
     gt_rel = np.einsum("ij,fjk->fik", np.linalg.inv(gt[0]), gt)
     ate = em.ate_rmse(poses[:, :3, 3], gt_rel[: len(poses), :3, 3])
     assert ate < 0.5, f"sparse-ring tracking lost: ATE {ate}"
+
+
+def test_route_clearance_keeps_clutter_out_of_the_driving_lane():
+    """velodyne_log must not put parked-clutter boxes ON the route (r3 root
+    cause of the multisession seed lottery: lanes at y=-4/-2 ran through the
+    +/-2.5-5 m clutter band and the sensor drove THROUGH box interiors,
+    producing point-blank returns that broke the front-end on some seeds).
+
+    Behavioral check: with the default clearance no return may appear at
+    point-blank horizontal range; with clearance disabled the same
+    route/seed does produce them (guards against a vacuous test).
+    """
+    wps = [(-36, -4), (-12, -4), (4, -4), (20, -4)]  # the multisession lane
+
+    def min_horiz(scans):
+        return min(
+            float(np.min(np.linalg.norm(s[:, :2], axis=1))) for s in scans
+        )
+
+    # enough frames (~1.2 m spacing) that some sample lands inside a box
+    kw = dict(n_frames=48, n_rings=10, n_azimuth=128, waypoints=wps, seed=4)
+    scans_clear, _ = synthetic.velodyne_log(**kw)  # default clearance 1.0
+    scans_dirty, _ = synthetic.velodyne_log(**kw, route_clearance=0.0)
+    assert min_horiz(scans_dirty) < 0.8, "expected point-blank box returns"
+    assert min_horiz(scans_clear) > 0.9, min_horiz(scans_clear)

@@ -159,3 +159,50 @@ def test_sharded_point_to_plane(mesh):
     )
     err = np.abs(np.asarray(res.T)[0] - T_gt).max()
     assert err < 5e-3, err
+
+
+def test_fused_icp_kernel_under_shard_map(mesh):
+    """Whole-loop fused Pallas ICP (icp_fused_pallas) inside shard_map ==
+    the same kernel called per-problem on one device.
+
+    The fused kernel is sequence-parallel in the multi-chip story (each
+    device runs whole aligns against its own local model — it keeps model
+    + state in VMEM, so points are never sharded). This certifies the
+    Mosaic/SPMD composition for the r3 flagship loop backend the same way
+    test_sharded_pallas_matches_single_and_xla does for the NN kernel.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from tpu_icp_slam.kernels.icp_fused_pallas import icp_fused_pallas
+    from tpu_icp_slam.mapping.normals import normals_knn
+
+    kw = dict(max_iters=10, tol=1e-6, tol_update=0.0, max_corr_dist=1.5,
+              huber_delta=0.3, damping=1e-3, step_scale=1.0,
+              max_step_trans=1.0, max_step_rot=0.3, min_inliers=10,
+              precision="highest", tile_m=256, tile_n=256)
+
+    n = 512
+    src, msk, dst, _ = _pair_batch(2, n, dtype=jnp.float32)
+    nrm = jnp.stack([
+        normals_knn(dst[b], jnp.ones(n, bool), k=8) for b in range(2)
+    ])
+    dmask = jnp.ones((2, n), bool)
+
+    def per_seq(s, sm, d, dn, dm):
+        T, rmse, iters, n_inl, conv = icp_fused_pallas(
+            s[0], sm[0], d[0], dn[0], dm[0], init_T=None, r_gate=1e9, **kw)
+        return T[None]
+
+    run = jax.jit(jax.shard_map(
+        per_seq, mesh=mesh,
+        in_specs=(P("dp"),) * 5, out_specs=P("dp"), check_vma=False,
+    ))
+    sharded = run(src, msk, dst, nrm, dmask)
+
+    for b in range(2):
+        T_ref, *_ = icp_fused_pallas(
+            src[b], msk[b], dst[b], nrm[b], dmask[b],
+            init_T=None, r_gate=1e9, **kw)
+        np.testing.assert_allclose(
+            np.asarray(sharded)[b], np.asarray(T_ref), rtol=1e-5, atol=1e-5
+        )

@@ -244,3 +244,69 @@ def test_unrolled_honors_max_iters():
     np.testing.assert_allclose(
         np.asarray(res_u.T), np.asarray(res_w.T), rtol=1e-6, atol=1e-7
     )
+
+
+def test_degen_remapping_zeroes_unobserved_direction():
+    """degen_eps mechanics (opt-in, default OFF — see the measured caveat in
+    point_to_plane.solve_increment): with a rank-deficient H the remapped
+    solve must zero the update along the null direction and still solve the
+    observed block; with degen_eps=0 the damped solve runs unchanged.
+    """
+    from tpu_icp_slam.icp.point_to_plane import solve_increment
+
+    # H observes everything except translation-x (index 0): a corridor whose
+    # walls constrain y, z and all rotations but not travel along x.
+    diag = np.array([1e-6, 50.0, 40.0, 900.0, 800.0, 700.0], np.float64)
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.standard_normal((6, 6)))
+    H = (Q * diag) @ Q.T
+    xi_true = np.array([0.0, 0.2, -0.1, 0.01, -0.02, 0.03])
+    g = -(H @ xi_true)
+    xi = np.asarray(solve_increment(
+        jnp.asarray(H, jnp.float32), jnp.asarray(g, jnp.float32),
+        damping=1e-6, degen_eps=1e-3,
+    ), np.float64)
+    null_dir = Q[:, 0]
+    # no component along the unobserved direction...
+    assert abs(xi @ null_dir) < 1e-4, xi @ null_dir
+    # ...while the observed components are recovered
+    proj = np.eye(6) - np.outer(null_dir, null_dir)
+    np.testing.assert_allclose(proj @ xi, proj @ xi_true, atol=5e-3)
+    # degen_eps=0: plain damped solve follows g into the weak direction
+    xi0 = np.asarray(solve_increment(
+        jnp.asarray(H, jnp.float32), jnp.asarray(g, jnp.float32),
+        damping=1e-6,
+    ), np.float64)
+    assert np.isfinite(xi0).all()
+
+
+def test_motion_prior_holds_unobserved_direction():
+    """prior_trans_weight: aligning a plane-only problem (z + normals
+    observe z/roll/pitch; x, y, yaw are free) must keep the unobserved
+    translation at the init pose instead of wandering, while still
+    correcting the observed axis.
+    """
+    import dataclasses
+
+    from tpu_icp_slam.icp import align as _align
+
+    rng = np.random.default_rng(7)
+    # a flat ground plane: observes only z translation (+ roll/pitch)
+    xy = rng.uniform(-10, 10, (1024, 2))
+    dst_np = np.concatenate([xy, np.zeros((1024, 1))], 1).astype(np.float32)
+    src_np = dst_np + np.array([0.0, 0.0, 0.3], np.float32)  # offset in z
+    nrm = np.tile(np.array([0, 0, 1.0], np.float32), (1024, 1))
+    dst = pcm.make(dst_np, 1024, normals=jnp.asarray(nrm))
+    src = pcm.make(src_np, 1024)
+    cfg = ICPConfig(method="point_to_plane", max_iters=10, nn_backend="xla",
+                    max_corr_dist=5.0, damping=1e-6, min_inliers=10,
+                    prior_trans_weight=10.0, prior_rot_weight=10.0)
+    res = _align(src, dst, cfg=cfg)
+    T = np.asarray(res.T, np.float64)
+    # observed: z corrected to -0.3; unobserved: x, y stay at the anchor (0)
+    assert abs(T[2, 3] + 0.3) < 0.02, T[:3, 3]
+    assert abs(T[0, 3]) < 1e-3 and abs(T[1, 3]) < 1e-3, T[:3, 3]
+    # without the prior the free directions drift with correspondence noise
+    res0 = _align(src, dst, cfg=dataclasses.replace(
+        cfg, prior_trans_weight=0.0, prior_rot_weight=0.0))
+    assert abs(np.asarray(res0.T)[2, 3] + 0.3) < 0.02

@@ -182,3 +182,42 @@ def test_fused_non_tile_multiple_sizes():
         src, smask, dst, nrm, dmask, r_gate=1e6)
     t_err, r_err = _pose_err(res.T, T)
     assert t_err < 2e-3 and r_err < 2e-3, (t_err, r_err)
+
+
+def test_fused_motion_prior_matches_unfused():
+    """In-kernel motion prior == icp.loop's prior_w/xi_prior path.
+
+    Two checks: (a) a well-posed problem converges to the same pose with a
+    light prior on both paths; (b) on the ground-plane-only problem (x, y,
+    yaw unobserved) the prior must hold the unobserved translations at the
+    anchor while the observed z offset is corrected — same contract as
+    tests/test_icp.py::test_motion_prior_holds_unobserved_direction.
+    """
+    src, smask, dst, nrm, dmask, T_true = _problem(seed=2)
+    kw = dict(prior_trans_weight=5.0, prior_rot_weight=5.0)
+    res = _run_unfused(src, smask, dst, nrm, dmask, r_gate=1e6, **kw)
+    T, rmse, iters, n_inl, conv = _run_fused(
+        src, smask, dst, nrm, dmask, r_gate=1e6, **kw)
+    t_err, r_err = _pose_err(res.T, T)
+    assert t_err < 3e-3 and r_err < 3e-3, (t_err, r_err)
+    t_gt, r_gt = _pose_err(T, T_true)
+    assert t_gt < 0.03 and r_gt < 0.01, (t_gt, r_gt)
+
+    # (b) plane-only: unobserved directions stay at the anchor
+    rng = np.random.default_rng(11)
+    n = 640
+    xy = rng.uniform(-10, 10, (n, 2))
+    dstp = np.concatenate([xy, np.zeros((n, 1))], 1).astype(np.float32)
+    srcp = dstp + np.array([0, 0, 0.3], np.float32)
+    nrmp = np.tile(np.array([0, 0, 1.0], np.float32), (n, 1))
+    Tp, *_ = icp_fused_pallas(
+        jnp.asarray(srcp), jnp.ones(n, bool), jnp.asarray(dstp),
+        jnp.asarray(nrmp), jnp.ones(n, bool), init_T=None, r_gate=1e9,
+        max_iters=10, tol=1e-8, tol_update=0.0, max_corr_dist=5.0,
+        huber_delta=0.0, damping=1e-6, step_scale=1.0, max_step_trans=1.0,
+        max_step_rot=0.3, min_inliers=10, precision="highest",
+        tile_m=256, tile_n=256, prior_trans_weight=10.0,
+        prior_rot_weight=10.0)
+    Tp = np.asarray(Tp, np.float64)
+    assert abs(Tp[2, 3] + 0.3) < 0.02, Tp[:3, 3]
+    assert abs(Tp[0, 3]) < 1e-3 and abs(Tp[1, 3]) < 1e-3, Tp[:3, 3]
