@@ -233,10 +233,50 @@ def _fault_injection_check(spec: str) -> dict:
     return {"mode": spec, "frame": k, "recovered": recovered}
 
 
+def _tunnel_preflight(retries: int = 3, timeout_s: int = 120) -> dict:
+    """One trivial dispatch in a SUBPROCESS with a hard timeout.
+
+    The axon tunnel can be down in a way that hangs backend init forever
+    (r3: >1 h of 'TPU backend setup/compile error (Unavailable)'), and a
+    hang here would stall the driver's whole bench run. Probe out-of-process
+    so a hung init is killable; retry with backoff so a one-shot flake
+    doesn't fail the round (mirrors tests/test_tpu_smoke.py's pre-flight).
+    """
+    import subprocess
+
+    last = ""
+    for attempt in range(retries):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "print(float((jnp.ones((8,8))+1).sum()))"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if p.returncode == 0:
+                return {"ok": True, "attempts": attempt + 1}
+            last = (p.stderr or "").strip()[-400:]
+        except subprocess.TimeoutExpired:
+            last = f"probe timed out after {timeout_s}s"
+        time.sleep(10 * (attempt + 1))
+    return {"ok": False, "attempts": retries, "error": last}
+
+
 def main() -> int:
     from tpu_icp_slam.obs.compile_cache import enable as _enable_cache
 
     _enable_cache()
+
+    pf = _tunnel_preflight()
+    if not pf["ok"]:
+        print(json.dumps({
+            "error": "tpu_backend_unavailable",
+            "detail": pf,
+            "hint": "axon tunnel down — no throughput number is honest; "
+                    "rerun when the backend recovers",
+        }))
+        return 6
+
     import jax
 
     report = {}

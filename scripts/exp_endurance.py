@@ -35,6 +35,9 @@ _enable_cache()
 
 import jax  # noqa: E402
 
+if os.environ.get("ENDURANCE_CPU"):  # sitecustomize overrides JAX_PLATFORMS;
+    jax.config.update("jax_platforms", "cpu")  # this is the honest CPU force
+
 FRAMES = int(os.environ.get("ENDURANCE_FRAMES", "1051"))  # 1 init + 7x150
 CHUNK = int(os.environ.get("ENDURANCE_CHUNK", "150"))
 SEED = int(os.environ.get("ENDURANCE_SEED", "0"))
