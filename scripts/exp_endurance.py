@@ -62,7 +62,10 @@ def _route(n_frames: int):
     lap = np.asarray(_LAP, np.float64)
     seam = np.vstack([lap, lap[1:2]])  # ...(-30,0.2) -> (-8,0) next lap
     lap_len = np.linalg.norm(np.diff(seam, axis=0), axis=1).sum()
-    laps = max(1, int(np.ceil(n_frames * 1.1 / lap_len)))
+    # NEAREST lap count: ceil overdrove the route whenever n·1.1 was just
+    # above a lap multiple (200 frames -> 2 laps -> 2.13 m/frame, outside
+    # the validated regime; the route_overdrive guard below caught it)
+    laps = max(1, int(round(n_frames * 1.1 / lap_len)))
     wps = list(_LAP)
     for _ in range(laps - 1):
         wps.extend(_LAP[1:])
@@ -80,15 +83,29 @@ def main() -> int:
     from tpu_icp_slam.slam.slam3d import Slam3D
 
     waypoints, laps, lap_len = _route(FRAMES)
+    m_per_frame = laps * lap_len / FRAMES
     print(json.dumps({
         "platform": jax.default_backend(), "frames": FRAMES,
         "laps": laps, "lap_len_m": round(lap_len, 1),
         "route_m": round(laps * lap_len, 1), "chunk": CHUNK,
+        "m_per_frame": round(m_per_frame, 2),
     }), flush=True)
+    if m_per_frame > 1.6:
+        # laps >= 1, so fewer than ~190 frames overdrive the lap: the
+        # pipeline is validated at the ~1.1 m/frame KITTI regime and
+        # diverges well above it (BASELINE.md regime note; a 61-frame
+        # smoke measured ATE 25 m at 3.5 m/frame — harness misuse, not a
+        # tracking result)
+        print(json.dumps({
+            "error": "route_overdrive",
+            "m_per_frame": round(m_per_frame, 2),
+            "hint": f"use ENDURANCE_FRAMES >= {int(lap_len / 1.1) + 1}",
+        }), flush=True)
+        return 2
 
     t0 = time.perf_counter()
     cache = os.environ.get("ENDURANCE_CACHE", "")
-    cache = cache and f"{cache}.f{FRAMES}.s{SEED}.npz"
+    cache = cache and f"{cache}.f{FRAMES}.s{SEED}.l{laps}.npz"
     if cache and os.path.exists(cache):
         z = np.load(cache)
         gt = z["gt"]

@@ -183,6 +183,10 @@ def run_rgbd(
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)
         np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+        from tpu_icp_slam.eval import trajectory_io as tio
+
+        tio.write_tum(os.path.join(out_dir, "trajectory_tum.txt"), poses)
+        tio.write_kitti(os.path.join(out_dir, "trajectory_kitti.txt"), poses)
         with open(os.path.join(out_dir, "report.json"), "w") as fh:
             json.dump(report, fh, indent=2)
     return poses, report
@@ -212,11 +216,17 @@ def _make_report(poses, data, cfg, mode: str, timer, extra: dict | None = None):
 
 
 def _write_artifacts(out_dir, poses, report, render_map=None):
-    """trajectory.npz + optional map render + report.json under out_dir."""
+    """trajectory.npz (+ TUM/KITTI text) + map render + report.json."""
     if not out_dir:
         return
     os.makedirs(out_dir, exist_ok=True)
     np.savez(os.path.join(out_dir, "trajectory.npz"), poses=poses)
+    # standard-format exports so external tooling (evo, the KITTI devkit)
+    # can score the trajectory directly
+    from tpu_icp_slam.eval import trajectory_io as tio
+
+    tio.write_tum(os.path.join(out_dir, "trajectory_tum.txt"), poses)
+    tio.write_kitti(os.path.join(out_dir, "trajectory_kitti.txt"), poses)
     if render_map is not None:
         png = os.path.join(out_dir, "map.png")
         render_map(png)
