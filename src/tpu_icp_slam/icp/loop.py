@@ -24,6 +24,8 @@ from tpu_icp_slam.icp.point_to_point import umeyama_masked
 from tpu_icp_slam.icp.point_to_plane import gauss_newton_step
 from tpu_icp_slam.kernels.nn import nearest_neighbor
 
+_warned_fused_ignored = False
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
@@ -104,6 +106,21 @@ def align_with_correspondence(
     gate (M,) 0/1 weights, d2 (M,) squared distances).
     Not jitted itself — call under jit (align above) or inside a pipeline step.
     """
+    if cfg.loop_backend == "fused":
+        # the whole-loop fused kernel is wired in slam.scan_to_map (it
+        # needs model normals + the coverage gate); this generic driver
+        # always runs the steps path. Warn once instead of silently
+        # ignoring the flag (the nn_precision lesson, ADVICE r2).
+        global _warned_fused_ignored
+        if not _warned_fused_ignored:
+            _warned_fused_ignored = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "icp.loop_backend='fused' is only honored by the "
+                "scan-to-map pipeline (3D point_to_plane); this align() "
+                "call runs the per-iteration steps path."
+            )
     d = src.dim
     dtype = src.points.dtype
     T0 = jnp.eye(d + 1, dtype=dtype) if init_T is None else init_T.astype(dtype)
