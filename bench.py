@@ -93,6 +93,10 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             # iterations at equal ATE (BASELINE.md)
             nn_precision="bf16",  # r2 A/B winner: +53% fps at equal-order
             # ATE (0.015 vs 0.008 m) — BASELINE.md precision A/B table
+            loop_backend=os.environ.get("BENCH_LOOP", "steps"),
+            # BENCH_LOOP=fused routes the whole ICP loop through the r3
+            # fused Pallas kernel (one launch per align) — A/B via
+            # scripts/exp_fused_ab.py before flipping the default
         ),
         mapping=MappingConfig(
             map_capacity=map_capacity, local_model_size=local_model,
