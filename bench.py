@@ -115,12 +115,15 @@ def _toy_cfg():
 
 
 def _kitti_cfg():
-    # r3 fast-frame A/B winners (BASELINE.md): iteration cap 6 (mean stays
-    # ~3 via tol_update), keyframes at 2.5 m / 0.3 rad, normals plane-fit
-    # against a 4x-strided reference — 101.5 fps / ATE 0.028 vs the r2
-    # 88.3 / 0.020 at 30 frames
+    # r3 fast-frame A/B winners (BASELINE.md): keyframes at 2.5 m / 0.3 rad,
+    # normals plane-fit against a 4x-strided reference. Iteration cap 18,
+    # NOT the A/B's 6: the straight bench route converges in ~3.5 iters
+    # either way (tol_update), but cap-6 TRUNCATES 90° corners — the r3
+    # endurance trace measured corner entry needing 16+ iterations, and a
+    # truncated turn diverges the whole sequence. A cap that wins +6% fps
+    # on a straight by silently failing corners is not a flagship config.
     return _cfg(16384, 131072, 16384, 0.2, 1.0, 100, 2.5, kf_rot=0.3,
-                max_iters=6, normal_ref_stride=4)
+                max_iters=18, normal_ref_stride=4)
 
 
 def bench_tpu(scans, cfg, trace=False, mode=None):

@@ -130,10 +130,15 @@ def main() -> int:
     # the r3 flagship config (bench.py _kitti_cfg winners, BASELINE.md)
     cfg = SlamConfig(
         icp=ICPConfig(
-            method="point_to_plane", max_iters=6, max_corr_dist=1.0,
+            method="point_to_plane", max_iters=18, max_corr_dist=1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=100, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01, nn_precision="bf16",
+            # motion prior: holds weakly-observed directions at the
+            # prediction through corner-exit frontier transitions (r3
+            # corner A/B: first-corner error 2.5 m -> 0.5 m, second corner
+            # bounded ~4 m vs 12-20 m slides; BASELINE.md corner section)
+            prior_trans_weight=30.0, prior_rot_weight=300.0,
         ),
         mapping=MappingConfig(
             map_capacity=131072, local_model_size=16384, map_voxel=0.2,

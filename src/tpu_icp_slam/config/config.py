@@ -109,6 +109,16 @@ class PipelineConfig:
     keyframe_rot: float = 0.3  # ... or this much rotation (rad)
     keyframe_min_inlier_frac: float = 0.3  # insert only if ICP is this healthy
     keyframe_max_rmse: float = 0.6  # ... or rmse below this even if not converged
+    frontier_insert: bool = True  # ALSO insert (healthy frames only) when the
+    # map frontier is under pressure: in-coverage fraction below
+    # frontier_cov_frac, or mid-turn (rotation since last keyframe beyond
+    # half keyframe_rot). Keyframe-cadence inserts alone freeze the frontier
+    # exactly at 90° corners — the scan faces unmapped corridor, inliers
+    # collapse, and ICP re-localizes backward into the self-similar mapped
+    # stretch (r3 endurance trace: ATE 28.7 m from one corner). Pressure
+    # inserts keep the frontier at most one frame behind through turns,
+    # KISS-ICP-style, while straight legs (coverage ~0.7) never trigger.
+    frontier_cov_frac: float = 0.6  # in-coverage fraction threshold
     normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
     normal_ref_stride: int = 1  # >1: fit planes against every Nth point
     # (shrinks the keyframe normals distance matrix by the stride; see

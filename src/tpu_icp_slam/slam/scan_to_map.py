@@ -224,17 +224,51 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     moved = jnp.logical_or(trans > p.keyframe_trans, rot > p.keyframe_rot)
     # map-hygiene gate: a poorly-converged or low-inlier registration must
     # never write to the map — misplaced keyframes are what later frames
-    # align against, so one bad insert compounds into runaway drift
-    n_valid = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    # align against, so one bad insert compounds into runaway drift.
+    # Denominator = points the gate could POSSIBLY accept: valid AND within
+    # the model's coverage radius at the converged pose. Points looking
+    # into unexplored space can never be inliers; counting them starved
+    # keyframes exactly at corners (r3 endurance trace: at the circuit's
+    # first 90° turn ~half the scan faces unmapped corridor, inlier frac
+    # 0.28 < 0.30 → no keyframe → frontier frozen → pose never turns,
+    # ATE 28.7 m; with the testable-set denominator the corner frames are
+    # 70%+ healthy and the map follows the turn).
+    cur_aligned = points @ res.T[:3, :3].T + res.T[:3, 3]
+    in_cov = jnp.sum(cur_aligned * cur_aligned, axis=-1) <= r_gate * r_gate
+    n_total = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
+    n_valid = jnp.maximum(
+        jnp.sum(jnp.logical_and(mask, in_cov).astype(jnp.int32)), 1
+    )
+    # ...but a pose so lost that almost nothing is testable must not count
+    # as healthy either (a teleported pose can align a tiny sliver well):
+    # require at least 10% of the scan inside coverage
+    enough_testable = n_valid * 10 >= n_total
     # "converged" alone is too strict at turns (max_iters exhausted while the
     # registration is still good); an absolute rmse bound keeps coverage
     # extending exactly where the motion is hardest
     quality = jnp.logical_or(res.converged, res.rmse < p.keyframe_max_rmse)
     healthy = jnp.logical_and(
-        quality,
+        jnp.logical_and(quality, enough_testable),
         res.n_inliers >= (n_valid * p.keyframe_min_inlier_frac).astype(jnp.int32),
     )
     is_kf = jnp.logical_and(moved, healthy)
+    # frontier-pressure map insert (decoupled from keyframe REGISTRATION:
+    # is_kf still gates the backend DB / last_kf_pose cadence): healthy
+    # frames also insert when coverage is collapsing or mid-turn, so the
+    # frontier follows the sensor through corners (see PipelineConfig)
+    if p.frontier_insert:
+        pressure = jnp.logical_or(
+            n_valid < n_total * p.frontier_cov_frac,
+            rot > 0.5 * p.keyframe_rot,
+        )
+        # require some motion so a parked sensor doesn't re-insert
+        moved_a_bit = jnp.logical_or(trans > 0.3, rot > 0.05)
+        is_map_insert = jnp.logical_and(
+            healthy, jnp.logical_or(moved, jnp.logical_and(pressure,
+                                                           moved_a_bit))
+        )
+    else:
+        is_map_insert = is_kf
 
     def do_insert(vm):
         world_pts = points @ pose[:3, :3].T + pose[:3, 3]
@@ -252,7 +286,7 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
             vm, world_pts, mask, nrm, voxel=m.map_voxel, center=pose[:3, 3]
         )
 
-    vm = jax.lax.cond(is_kf, do_insert, lambda v: v, state.vmap)
+    vm = jax.lax.cond(is_map_insert, do_insert, lambda v: v, state.vmap)
     new_state = MapOdomState(
         pose=pose,
         T_rel=T_rel,
@@ -265,7 +299,7 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         loc_msk=loc_msk,
         r_cover=r_cover,
         extract_center=ex_center,
-        need_extract=is_kf,  # map changed -> re-extract next frame
+        need_extract=is_map_insert,  # map changed -> re-extract next frame
     )
     info = {
         "pose": pose,
@@ -274,6 +308,7 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         "n_inliers": res.n_inliers,
         "converged": res.converged,
         "is_keyframe": is_kf,
+        "map_inserted": is_map_insert,
         "map_points": voxel_map.count(vm),
     }
     return new_state, info
