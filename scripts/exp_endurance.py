@@ -41,6 +41,10 @@ if os.environ.get("ENDURANCE_CPU"):  # sitecustomize overrides JAX_PLATFORMS;
 FRAMES = int(os.environ.get("ENDURANCE_FRAMES", "1051"))  # 1 init + 7x150
 CHUNK = int(os.environ.get("ENDURANCE_CHUNK", "150"))
 SEED = int(os.environ.get("ENDURANCE_SEED", "0"))
+# ENDURANCE_SCALE=small: 1/10-scale scans (14 rings / 288 az / 1536 cap) for
+# CPU mechanics validation — same route, same pipeline, ~20x faster. The
+# headline flagship scale stays the default (TPU).
+SMALL = os.environ.get("ENDURANCE_SCALE", "") == "small"
 
 # the loop circuit from datasets/synthetic.velodyne_log, closed per lap
 _LAP = [
@@ -111,11 +115,12 @@ def main() -> int:
         gt = z["gt"]
         scans = [z[f"s{i}"] for i in range(int(z["n"]))]
     else:
+        rings, azim, dsv = (14, 288, 0.45) if SMALL else (48, 1024, 0.15)
         scans, gt = synthetic.velodyne_log(
-            n_frames=FRAMES, n_rings=48, n_azimuth=1024, seed=SEED,
+            n_frames=FRAMES, n_rings=rings, n_azimuth=azim, seed=SEED,
             waypoints=waypoints,
         )
-        scans = [voxel_downsample_np(s, 0.15) for s in scans]
+        scans = [voxel_downsample_np(s, dsv) for s in scans]
         if cache:
             np.savez_compressed(
                 cache, gt=gt, n=len(scans),
@@ -130,21 +135,27 @@ def main() -> int:
     # the r3 flagship config (bench.py _kitti_cfg winners, BASELINE.md)
     cfg = SlamConfig(
         icp=ICPConfig(
-            method="point_to_plane", max_iters=18, max_corr_dist=1.0,
+            method="point_to_plane", max_iters=18,
+            max_corr_dist=2.0 if SMALL else 1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
-            min_inliers=100, huber_delta=0.3, tol=1e-5,
+            min_inliers=50 if SMALL else 100, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01, nn_precision="bf16",
-            # motion prior: holds weakly-observed directions at the
-            # prediction through corner-exit frontier transitions (r3
-            # corner A/B: first-corner error 2.5 m -> 0.5 m, second corner
-            # bounded ~4 m vs 12-20 m slides; BASELINE.md corner section)
-            prior_trans_weight=30.0, prior_rot_weight=300.0,
+            # motion prior at the measured-good strength (~= lambda 30
+            # absolute at the flagship's Sum-w ~7k): two-corner trace
+            # 6.5 m vs 15.5 m without it. Fractions >=0.01 COMPOUND a drag
+            # on straights through the velocity feedback - calibration is
+            # a knife's edge, see BASELINE.md corner section.
+            prior_trans_weight=0.004, prior_rot_weight=0.04,
         ),
-        mapping=MappingConfig(
-            map_capacity=131072, local_model_size=16384, map_voxel=0.2,
+        mapping=(
+            MappingConfig(map_capacity=32768, local_model_size=4096,
+                          map_voxel=0.35)
+            if SMALL else
+            MappingConfig(map_capacity=131072, local_model_size=16384,
+                          map_voxel=0.2)
         ),
         pipeline=PipelineConfig(
-            mode="scan_to_map", scan_capacity=16384,
+            mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
             keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
         ),
         backend=BackendConfig(
@@ -156,7 +167,7 @@ def main() -> int:
     out_dir = os.environ.get("ENDURANCE_OUT", "/tmp/endurance")
     os.makedirs(out_dir, exist_ok=True)
 
-    slam = Slam3D(cfg)
+    slam = Slam3D(cfg, progress=True)
     t0 = time.perf_counter()
     poses, rep = slam.run(
         pts, msk, mode="fused", chunk_frames=CHUNK,

@@ -42,12 +42,16 @@ class ICPConfig:
     # path only (the fused loop kernel has no 6x6 eigensolver).
     prior_trans_weight: float = 0.0  # >0: motion-model prior — a Tikhonov
     # term anchoring the solve at the ICP's init pose (= the motion-model
-    # prediction in scan_to_map), weight in units of summed point weights
-    # (an inlier constrains a translation axis by ~|n·e|²≈1/3). Negligible
-    # in observed directions (H diag ~ hundreds), dominant exactly where H
-    # is degenerate (corridor travel axis) — the well-behaved alternative
-    # to degen_eps remapping. point_to_plane only.
-    prior_rot_weight: float = 0.0  # same, rotation block (units ~ w·|p×n|²)
+    # prediction in scan_to_map). The value is a FRACTION of the frame's
+    # summed correspondence weight: λ = fraction × Σw, so the prior's
+    # strength is scale-invariant (an absolute λ that is negligible at 10k
+    # inliers freezes the pose at 1k — measured r3). Negligible in observed
+    # directions, dominant exactly where H is degenerate (corridor travel
+    # axis) — the well-behaved alternative to degen_eps remapping.
+    # point_to_plane only. Typical: 0.01.
+    prior_rot_weight: float = 0.0  # same, rotation block. Typical: 0.1
+    # (rotation H entries scale with |p×n|² ~ range², so equal suppression
+    # needs a larger fraction)
     step_scale: float = 1.0  # >1: over-relax each ICP update (Besl-McKay-style
     # extrapolation; plain ICP undershoots because correspondences lag)
     anderson: bool = False  # AA(1) acceleration of the fixed-point iteration

@@ -166,7 +166,13 @@ def align_with_correspondence(
                 # ‖log(exp(xi)·T·T0⁻¹)‖² — exact enough at per-iteration
                 # step sizes; holds degenerate directions at the prediction
                 # instead of letting them follow correspondence noise.
-                prior_w = jnp.asarray(
+                # λ = weight_fraction × Σw (RELATIVE to the frame's own
+                # point evidence): an absolute λ that is negligible at 10k
+                # inliers is pose-freezing at 1k (measured r3 small-scale
+                # endurance: λt=30 abs stalled the pipeline dead on a
+                # straight leg at 1.5k-point scans).
+                wsum_pr = jnp.maximum(jnp.sum(w), 1e-6)
+                prior_w = wsum_pr * jnp.asarray(
                     [cfg.prior_trans_weight] * d
                     + [cfg.prior_rot_weight] * (k_twist - d),
                     dtype,

@@ -381,7 +381,10 @@ def _icp_kernel(
                       - (Rx[i][0] * cc[0] + Rx[i][1] * cc[1]
                          + Rx[i][2] * cc[2]) for i in range(3)]
             xi_cur = _se3_log_scalars(Rx, t_orig)
-            pw = [jnp.float32(prior_t)] * 3 + [jnp.float32(prior_r)] * 3
+            # λ = fraction × Σw, matching icp.loop (scale-relative prior)
+            wsum_pr = jnp.maximum(sg_ref[0, 6], 1e-6)
+            pw = ([wsum_pr * jnp.float32(prior_t)] * 3
+                  + [wsum_pr * jnp.float32(prior_r)] * 3)
             for k in range(6):
                 h[k][k] = h[k][k] + pw[k]
                 g[k] = g[k] + pw[k] * xi_cur[k]

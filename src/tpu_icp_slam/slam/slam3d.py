@@ -48,10 +48,11 @@ class SlamReport:
 class Slam3D:
     """Streaming front-end + backend; `run` maps a padded log to a trajectory."""
 
-    def __init__(self, cfg: SlamConfig):
+    def __init__(self, cfg: SlamConfig, progress: bool = False):
         self.cfg = cfg
         self.pipe = ScanToMapPipeline(cfg)
         self.detector = LoopDetector(cfg.backend)
+        self.progress = progress  # per-chunk stderr-visible rate lines
 
     def run(
         self,
@@ -172,6 +173,14 @@ class Slam3D:
                 self.chunk_stats.append(
                     (f0, f1 - f0, _time.perf_counter() - t0)
                 )
+                if self.progress:
+                    dt = self.chunk_stats[-1][2]
+                    print(
+                        f"[slam3d] chunk {f0}..{f1 - 1}: "
+                        f"{(f1 - f0) / dt:.1f} fps, "
+                        f"{int(np.sum(kf_flags))} keyframes",
+                        flush=True,
+                    )
                 for f in range(f0, f1):
                     pose = all_poses[f - f0]
                     poses.append(pose)

@@ -300,7 +300,7 @@ def test_motion_prior_holds_unobserved_direction():
     src = pcm.make(src_np, 1024)
     cfg = ICPConfig(method="point_to_plane", max_iters=10, nn_backend="xla",
                     max_corr_dist=5.0, damping=1e-6, min_inliers=10,
-                    prior_trans_weight=10.0, prior_rot_weight=10.0)
+                    prior_trans_weight=0.05, prior_rot_weight=0.05)
     res = _align(src, dst, cfg=cfg)
     T = np.asarray(res.T, np.float64)
     # observed: z corrected to -0.3; unobserved: x, y stay at the anchor (0)

@@ -194,7 +194,7 @@ def test_fused_motion_prior_matches_unfused():
     tests/test_icp.py::test_motion_prior_holds_unobserved_direction.
     """
     src, smask, dst, nrm, dmask, T_true = _problem(seed=2)
-    kw = dict(prior_trans_weight=5.0, prior_rot_weight=5.0)
+    kw = dict(prior_trans_weight=0.02, prior_rot_weight=0.02)
     res = _run_unfused(src, smask, dst, nrm, dmask, r_gate=1e6, **kw)
     T, rmse, iters, n_inl, conv = _run_fused(
         src, smask, dst, nrm, dmask, r_gate=1e6, **kw)
@@ -216,8 +216,8 @@ def test_fused_motion_prior_matches_unfused():
         max_iters=10, tol=1e-8, tol_update=0.0, max_corr_dist=5.0,
         huber_delta=0.0, damping=1e-6, step_scale=1.0, max_step_trans=1.0,
         max_step_rot=0.3, min_inliers=10, precision="highest",
-        tile_m=256, tile_n=256, prior_trans_weight=10.0,
-        prior_rot_weight=10.0)
+        tile_m=256, tile_n=256, prior_trans_weight=0.05,
+        prior_rot_weight=0.05)
     Tp = np.asarray(Tp, np.float64)
     assert abs(Tp[2, 3] + 0.3) < 0.02, Tp[:3, 3]
     assert abs(Tp[0, 3]) < 1e-3 and abs(Tp[1, 3]) < 1e-3, Tp[:3, 3]
