@@ -159,7 +159,10 @@ def main() -> int:
             keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
         ),
         backend=BackendConfig(
-            enabled=True, min_loop_separation=25, gating_radius=15.0,
+            enabled=True, min_loop_separation=25, gating_radius=20.0,
+            # gating 20 m: the full-lap odometry trace peaks at 16.6 m of
+            # drift (BASELINE.md) - a 15 m gate would exclude true closures
+            # exactly where they matter most
             verify_max_dev=4.0, max_keyframes=512,
         ),
     )
