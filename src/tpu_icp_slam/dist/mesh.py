@@ -35,9 +35,28 @@ def make_mesh(
     shape: Optional[Sequence[int]] = None,
     devices=None,
 ) -> jax.sharding.Mesh:
-    """Build a Mesh over the first n_devices. shape=None auto-factors."""
+    """Build a Mesh over the first n_devices. shape=None auto-factors.
+
+    If the default platform has fewer than n_devices, falls back to the
+    host-CPU devices (the virtual mesh from
+    --xla_force_host_platform_device_count) and raises if those are still
+    too few. Without this, asking for an 8-way mesh in an environment whose
+    default backend is a single TPU silently produced a 1-device mesh — a
+    "multi-chip" validation that validated nothing.
+    """
     if devices is None:
         devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                devices = jax.devices("cpu")
+            except RuntimeError:
+                pass
+            if len(devices) < n_devices:
+                raise ValueError(
+                    f"make_mesh: {n_devices} devices requested but only "
+                    f"{len(jax.devices())} on the default platform and "
+                    f"{len(devices)} on cpu"
+                )
         if n_devices is not None:
             devices = devices[:n_devices]
     n = len(devices)

@@ -14,7 +14,8 @@ the full iterate-until-converged loop on-core:
       2. NN   = tiled d^2-packed bf16 argmin     (same math as nn_pallas
                over the model                     "bf16" mode, incl. hi/lo
                                                   Dekker lane packing)
-      3. q,n  = model[arg], modelN[arg]          (in-kernel dynamic gather)
+      3. q,n  = one-hot(argmin) @ [model|modelN] (gather AS A MATMUL — see
+                                                  "gather-free" note below)
       4. w    = dist gate * coverage gate * src mask * Huber
       5. H,g  = J^T W J, J^T W r                 (two MXU passes, J on VPU)
       6. xi   = damped 6x6 Cholesky solve        (unrolled scalar code)
@@ -38,6 +39,25 @@ caveat in that header — on the axon emulator selection is approximate, on
 conformant hardware near-exact). All residual/GN math is f32: distances
 are recomputed in difference form from the gathered q, exactly like the
 unfused path. A "highest" mode runs the NN contraction in full f32.
+
+Gather-free correspondence fetch: Mosaic's `lax.gather` lowering supports
+only same-shape take_along_axis (jax pallas/mosaic/lowering.py
+_gather_lowering_rule — verified: the original in-kernel dynamic row
+gather `dstc_ref[:][arg, :]` raises "Shape mismatch in input, indices and
+output" when lowered for TPU; it only ever worked in CPU interpret mode).
+The TPU-native replacement: inside the NN fold, each (TM, TN) distance
+tile's local argmin is turned into a one-hot matrix and the matched model
+row is fetched with ONE extra MXU pass per tile,
+
+    qn_tile = onehot(ll) @ [dst_hi | dst_lo | nrm_hi | nrm_lo]   (TM, 16)
+
+folded across model tiles with the same `take` mask as the running argmin.
+The operand is Dekker hi/lo packed bf16, and one-hot rows make every MXU
+product exact (1.0·bf16 with all other terms +0.0), so the reconstructed
+q = q_hi + q_lo recovers the f32 model coordinates to ~2^-18 relative —
+mm-exact at map scale — even with non-conformant bf16 accumulation. Costs
+one 16-lane bf16 pass per tile (≈ the bf16 NN contraction itself); buys
+TPU compilability and keeps correspondence arrays out of HBM entirely.
 """
 
 from __future__ import annotations
@@ -179,9 +199,9 @@ def _icp_kernel(
     src_ref,    # (Mp, 8) f32: [x, y, z, 1, 0...] valid; padded rows zero
     smask_ref,  # (1, Mp) f32 source validity
     dstc_ref,   # (Np, 8) f32 RECENTERED model coords [x, y, z, 0...]
-    nrm_ref,    # (Np, 8) f32 model normals
     baug_ref,   # (Np, 16) bf16 packed model lanes (d^2 trick) — bf16 mode
     bsq_ref,    # (1, Np) f32 ||b||^2 of recentered model — highest mode
+    gat_ref,    # (Np, 16) bf16 gather operand [d_hi(3) d_lo(3) n_hi(3) n_lo(3) 0(4)]
     initT_ref,  # (8, 8) f32, top-left 4x4 = initial T (recentered frame)
     # outputs
     outT_ref,   # (8, 8) f32
@@ -191,7 +211,7 @@ def _icp_kernel(
     cur_ref,    # (Mp, 8) f32 transformed source
     aaug_ref,   # (Mp, 16) bf16 packed source lanes
     best_ref,   # (1, Mp) f32 running best NN score
-    bestj_ref,  # (1, Mp) int32 running best model row
+    qn_ref,     # (Mp, 16) f32 gathered correspondence [q_hi q_lo n_hi n_lo]
     h_ref,      # (8, 8) f32 normal equations accumulator
     sg_ref,     # (1, 16) f32 [g(6) | wsum, wd2, ninl, ...] accumulator
 ):
@@ -232,14 +252,12 @@ def _icp_kernel(
             # lane layout MUST mirror nn_pallas bf16 packing:
             #   a: [-2a_hi(3), -2a_lo(3), -2a_hi(3), asq_hi, asq_lo, 1, 1]
             #   b: [ b_hi(3),   b_hi(3),   b_lo(3),  1,      1, bsq_hi, bsq_lo]
-            aaug_ref[:, 0:3] = two * a_hi[:, 0:3]
-            aaug_ref[:, 3:6] = two * a_lo[:, 0:3]
-            aaug_ref[:, 6:9] = two * a_hi[:, 0:3]
-            aaug_ref[:, 9:10] = asq_hi
-            aaug_ref[:, 10:11] = asq_lo
-            aaug_ref[:, 11:12] = one
-            aaug_ref[:, 12:13] = one
-            aaug_ref[:, 13:16] = jnp.zeros_like(a_hi[:, 0:3])
+            # single full-row store (Mosaic: sub-lane slice stores of odd
+            # widths are fragile; concatenate + one vector store is not)
+            aaug_ref[:, :] = jnp.concatenate(
+                [two * a_hi[:, 0:3], two * a_lo[:, 0:3],
+                 two * a_hi[:, 0:3], asq_hi, asq_lo, one, one,
+                 jnp.zeros_like(a_hi[:, 0:3])], axis=1)
         # highest mode reads cur_ref directly in the NN tiles (f32 end to
         # end); routing through the bf16 aaug scratch would silently lose
         # the precision the mode promises
@@ -270,20 +288,35 @@ def _icp_kernel(
                     e = (bsq_ref[0, pl.ds(j * tile_n, tile_n)][None, :]
                          - 2.0 * e)
                 lb = jnp.min(e, axis=1)  # (TM,)
-                la = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tile_n
+                ll = jnp.argmin(e, axis=1).astype(jnp.int32)  # in-tile idx
+
+                # gather-as-matmul (header note): one-hot rows fetch the
+                # matched model row's packed hi/lo coords+normals. Exact:
+                # each output lane is 1.0*bf16 + zeros.
+                oh = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
+                      == ll[:, None]).astype(jnp.bfloat16)
+                qn_tile = jax.lax.dot_general(
+                    oh, gat_ref[pl.ds(j * tile_n, tile_n), :],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    # explicit: the ambient jax_default_matmul_precision is
+                    # HIGHEST (core/__init__), which Mosaic rejects for bf16
+                    # operands; one-hot rows make DEFAULT exact anyway
+                    precision=jax.lax.Precision.DEFAULT,
+                )  # (TM, 16)
 
                 def init():
                     best_ref[0, pl.ds(i * tile_m, tile_m)] = lb
-                    bestj_ref[0, pl.ds(i * tile_m, tile_m)] = la
+                    qn_ref[pl.ds(i * tile_m, tile_m), :] = qn_tile
 
                 def fold():
                     prev = best_ref[0, pl.ds(i * tile_m, tile_m)]
                     take = lb < prev
                     best_ref[0, pl.ds(i * tile_m, tile_m)] = jnp.where(
                         take, lb, prev)
-                    pj = bestj_ref[0, pl.ds(i * tile_m, tile_m)]
-                    bestj_ref[0, pl.ds(i * tile_m, tile_m)] = jnp.where(
-                        take, la, pj)
+                    pq = qn_ref[pl.ds(i * tile_m, tile_m), :]
+                    qn_ref[pl.ds(i * tile_m, tile_m), :] = jnp.where(
+                        take[:, None], qn_tile, pq)
 
                 jax.lax.cond(j == 0, init, fold)
                 return 0
@@ -296,12 +329,18 @@ def _icp_kernel(
         # ---- 4. gather correspondences + build weights, 5. GN -------------
         def gn_tile(i, _):
             sl = pl.ds(i * tile_m, tile_m)
-            arg = bestj_ref[0, sl]  # (TM,) rows into the model
-            q = dstc_ref[:][arg, :]  # (TM, 8) in-kernel dynamic gather
-            n = nrm_ref[:][arg, :]
+            qn = qn_ref[sl, :]  # (TM, 16) gathered [q_hi q_lo n_hi n_lo]
+            qx = qn[:, 0] + qn[:, 3]
+            qy = qn[:, 1] + qn[:, 4]
+            qz = qn[:, 2] + qn[:, 5]
+            nx = qn[:, 6] + qn[:, 9]
+            ny = qn[:, 7] + qn[:, 10]
+            nz = qn[:, 8] + qn[:, 11]
             p = cur_ref[sl, :]
-            d = (p - q) * lane_xyz
-            d2 = jnp.sum(d * d, axis=1)  # f32 difference form, (TM,)
+            dx = p[:, 0] - qx
+            dy = p[:, 1] - qy
+            dz = p[:, 2] - qz
+            d2 = dx * dx + dy * dy + dz * dz  # f32 difference form, (TM,)
             w = (d2 <= max_d2).astype(f32) * smask_ref[0, sl]
             # coverage gate: scan points beyond the model's coverage radius
             # must not latch onto its boundary (slam.scan_to_map). Measured
@@ -316,11 +355,10 @@ def _icp_kernel(
                 dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
                 w = w * jnp.minimum(1.0, huber / dist)
             px, py, pz = p[:, 0], p[:, 1], p[:, 2]
-            nx, ny, nz = n[:, 0], n[:, 1], n[:, 2]
             cx = py * nz - pz * ny
             cy = pz * nx - px * nz
             cz = px * ny - py * nx
-            r = d[:, 0] * nx + d[:, 1] * ny + d[:, 2] * nz
+            r = dx * nx + dy * ny + dz * nz
             zero = jnp.zeros_like(px)
             J = jnp.stack([nx, ny, nz, cx, cy, cz, zero, zero], axis=1)
             Jw = J * w[:, None]
@@ -417,14 +455,24 @@ def _icp_kernel(
         ok = n_inl >= jnp.float32(max(min_inliers, 4))
         xi = [jnp.where(ok, x, 0.0) for x in xi]
 
-        # ---- 7. T = exp(xi) @ T on scalars --------------------------------
+        # ---- 7. T = exp(xi) @ T -------------------------------------------
+        # Mosaic forbids scalar stores to VMEM: place the exp(xi) scalars
+        # into an (8,8) matrix with one-hot iota masks and update T with a
+        # single f32 matmul (vector store), instead of 12 scalar stores.
         R, t = _se3_exp_scalars(xi)
-        Told = [[T_ref[i, j] for j in range(4)] for i in range(4)]
+        ri8 = jax.lax.broadcasted_iota(jnp.int32, (_L8, _L8), 0)
+        ci8 = jax.lax.broadcasted_iota(jnp.int32, (_L8, _L8), 1)
+        E = jnp.zeros((_L8, _L8), f32)
         for i in range(3):
-            for j in range(4):
-                T_ref[i, j] = (R[i][0] * Told[0][j] + R[i][1] * Told[1][j]
-                               + R[i][2] * Told[2][j]
-                               + t[i] * Told[3][j])
+            for j in range(3):
+                E = E + R[i][j] * ((ri8 == i) & (ci8 == j)).astype(f32)
+            E = E + t[i] * ((ri8 == i) & (ci8 == 3)).astype(f32)
+        E = E + ((ri8 == 3) & (ci8 == 3)).astype(f32)  # homogeneous 1
+        T_ref[:, :] = jax.lax.dot_general(
+            E, T_ref[:, :], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
         # ---- 8. convergence ----------------------------------------------
         rmse = jnp.sqrt(wd2 / wsum)
@@ -454,11 +502,14 @@ def _icp_kernel(
     )
 
     outT_ref[:, :] = T_ref[:, :]
-    stats_ref[0, 0] = rmse
-    stats_ref[0, 1] = it.astype(f32)
-    stats_ref[0, 2] = n_inl
-    stats_ref[0, 3] = conv.astype(f32)
-    stats_ref[0, 4:8] = jnp.zeros((4,), f32)
+    # stats row assembled with one-hot masks (no scalar VMEM stores)
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, _L8), 1)
+    stats_ref[:, :] = (
+        rmse * (li == 0).astype(f32)
+        + it.astype(f32) * (li == 1).astype(f32)
+        + n_inl * (li == 2).astype(f32)
+        + conv.astype(f32) * (li == 3).astype(f32)
+    )
 
 
 @functools.partial(
@@ -557,9 +608,18 @@ def icp_fused_pallas(
     src8 = src8.at[:, 3].set(1.0)
     smask = jnp.pad(src_mask.astype(f32), (0, mp - m)).reshape(1, mp)
     dst8 = pad8(dstc, np_, fill=1.0e6)
-    # the gather must never see lane garbage in 3..7: zero them
+    # lanes 3..7 must be zero (they enter the d^2 contraction): zero them
     dst8 = dst8 * (jax.lax.broadcasted_iota(jnp.int32, (1, _L8), 1) < 3)
-    nrm8 = pad8(jnp.where(vcol, dst_nrm, 0.0), np_)
+    nrm_np = jnp.pad(jnp.where(vcol, dst_nrm, 0.0),
+                     ((0, np_ - n), (0, 0)))
+
+    # gather operand (header note): Dekker hi/lo packed coords + normals,
+    # fetched by the in-fold one-hot matmul. 1e6-padded rows reconstruct to
+    # ~1e6 -> d^2 >> max_corr_dist^2 -> gated, same as the old gather path.
+    d_hi, d_lo = _split_hi_lo(dst8[:, :3])
+    n_hi, n_lo = _split_hi_lo(nrm_np)
+    gat = jnp.concatenate([d_hi, d_lo, n_hi, n_lo], axis=1)
+    gat = jnp.pad(gat, ((0, 0), (0, _L16 - gat.shape[1])))
 
     # bf16 packed model lanes (mirrors nn_pallas)
     b_hi, b_lo = _split_hi_lo(dst8[:, :3])
@@ -603,12 +663,12 @@ def icp_fused_pallas(
             pltpu.VMEM((mp, _L8), f32),       # cur
             pltpu.VMEM((mp, _L16), jnp.bfloat16),  # aaug
             pltpu.VMEM((1, mp), f32),         # best
-            pltpu.VMEM((1, mp), jnp.int32),   # bestj
+            pltpu.VMEM((mp, _L16), f32),      # qn (gathered corr)
             pltpu.VMEM((_L8, _L8), f32),      # H
             pltpu.VMEM((1, _L16), f32),       # g/stats
         ],
         interpret=interpret,
-    )(rg, src8, smask, dst8, nrm8, baug, bsq,
+    )(rg, src8, smask, dst8, baug, bsq, gat,
       jnp.zeros((_L8, _L8), f32).at[:4, :4].set(T0c))
 
     Tc = outT[:4, :4]
