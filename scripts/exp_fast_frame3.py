@@ -108,4 +108,8 @@ if __name__ == "__main__":
         "both": _mapcfg(base, extract_approx=True, insert_backend="hash"),
     }
     for name, cfg in variants.items():
-        run_variant(name, cfg, scans, gt)
+        try:
+            run_variant(name, cfg, scans, gt)
+        except Exception as exc:  # one failing arm must not kill the A/B
+            print(json.dumps({"variant": name, "error": str(exc)[:400]}),
+                  flush=True)

@@ -56,4 +56,8 @@ if __name__ == "__main__":
     for name, cfg in variants.items():
         if only and name not in only.split(","):
             continue
-        run_variant(name, cfg, scans, gt)
+        try:
+            run_variant(name, cfg, scans, gt)
+        except Exception as exc:  # one failing arm must not kill the A/B
+            print(json.dumps({"variant": name, "error": str(exc)[:400]}),
+                  flush=True)

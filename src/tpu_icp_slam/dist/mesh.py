@@ -47,6 +47,8 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if n_devices is not None and len(devices) < n_devices:
+            default_platform = devices[0].platform if devices else "?"
+            n_default = len(devices)
             try:
                 devices = jax.devices("cpu")
             except RuntimeError:
@@ -57,6 +59,16 @@ def make_mesh(
                     f"{len(jax.devices())} on the default platform and "
                     f"{len(devices)} on cpu"
                 )
+            # Never swap platforms silently: on a real pod this turns a
+            # "multi-chip TPU" request into host-CPU execution (advisor r3,
+            # same no-silent-degradation policy as multihost_init).
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "make_mesh: default platform %r has %d device(s) < %d "
+                "requested; falling back to %d host-CPU devices",
+                default_platform, n_default, n_devices, len(devices),
+            )
         if n_devices is not None:
             devices = devices[:n_devices]
     n = len(devices)

@@ -130,11 +130,12 @@ def nn_bruteforce_pallas(
     off). dist_sq comes from the factored form: recompute in difference form
     where f32 cancellation matters (icp.loop does).
 
-    Tile defaults (1024×8192) come from the r3 honest sweep at the headline
-    16,384×131,072 regime with the obs.realize fence — see the tile table in
-    BASELINE.md. (The r1 sweep numbers previously cited here were enqueue
-    rates and were formally invalidated; 4096×8192 VMEM-OOMs at the 16 MB
-    scoped limit, which still bounds tile_m·tile_n.)
+    Tile defaults (1024×8192) are the r2-era choice; the honest sweep at the
+    headline 16,384×131,072 regime (`scripts/exp_tiles_headline.py`, with the
+    obs.realize fence) is PENDING until its queue stage runs — see "tile
+    defaults" in BASELINE.md for status. (The r1 sweep numbers previously
+    cited here were enqueue rates and were formally invalidated; 4096×8192
+    VMEM-OOMs at the 16 MB scoped limit, which still bounds tile_m·tile_n.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
