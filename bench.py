@@ -93,6 +93,13 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             # iterations at equal ATE (BASELINE.md)
             nn_precision="bf16",  # r2 A/B winner: +53% fps at equal-order
             # ATE (0.015 vs 0.008 m) — BASELINE.md precision A/B table
+            prior_trans_weight=0.004, prior_rot_weight=0.04,
+            max_total_trans=1.5, max_total_rot=0.5,
+            # r4 corner robustness pair (BASELINE.md r4): motion prior +
+            # total-correction trust region. Negligible on the straight
+            # bench route (corrections ≪ the 1.5 m ball; ~2 extra VPU ops
+            # per iteration), load-bearing at 90° corners — a flagship
+            # config that only survives straights is not a flagship config.
             loop_backend=os.environ.get("BENCH_LOOP", "steps"),
             # BENCH_LOOP=fused routes the whole ICP loop through the r3
             # fused Pallas kernel (one launch per align) — A/B via

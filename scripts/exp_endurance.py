@@ -136,16 +136,22 @@ def main() -> int:
     cfg = SlamConfig(
         icp=ICPConfig(
             method="point_to_plane", max_iters=18,
-            max_corr_dist=2.0 if SMALL else 1.0,
+            max_corr_dist=1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=50 if SMALL else 100, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01, nn_precision="bf16",
             # motion prior at the measured-good strength (~= lambda 30
-            # absolute at the flagship's Sum-w ~7k): two-corner trace
-            # 6.5 m vs 15.5 m without it. Fractions >=0.01 COMPOUND a drag
-            # on straights through the velocity feedback - calibration is
-            # a knife's edge, see BASELINE.md corner section.
+            # absolute at the flagship's Sum-w ~7k). Fractions >=0.01
+            # COMPOUND a drag on straights through the velocity feedback -
+            # calibration is a knife's edge, see BASELINE.md corner section.
             prior_trans_weight=0.004, prior_rot_weight=0.04,
+            # r4 corner root-cause pair (BASELINE.md r4): max_corr_dist 1.0
+            # (2.0 let unmapped-frontier scan points latch onto the mapped
+            # corridor boundary - a systematic backward drag at corner
+            # mouths) + a trust region on the total correction (18
+            # per-iteration-clamped steps could still walk 4-9 m into an
+            # aliased basin, and one such frame poisoned the map for good)
+            max_total_trans=1.5, max_total_rot=0.5,
         ),
         mapping=(
             MappingConfig(map_capacity=32768, local_model_size=4096,
@@ -164,6 +170,10 @@ def main() -> int:
             # drift (BASELINE.md) - a 15 m gate would exclude true closures
             # exactly where they matter most
             verify_max_dev=4.0, max_keyframes=512,
+            # r4: a FIXED dev gate rejected all 157 lap-closure candidates
+            # on the first TPU endurance run (a true closure's deviation IS
+            # the accumulated drift); widen with odometry path length
+            verify_drift_rate=0.08,
         ),
     )
     pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)

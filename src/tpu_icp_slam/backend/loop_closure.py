@@ -376,6 +376,8 @@ class LoopDetector:
         match_mask,  # (C, N)
         T_preds=None,  # (C, D+1, D+1) odometry-predicted X_i⁻¹ X_j, or None
         query_desc=None,
+        max_devs=None,  # (C,) per-candidate dev-gate radii (m); None = the
+        # scalar cfg.verify_max_dev for every candidate
     ) -> list:
         """Geometrically verify ALL candidates of a keyframe in one dispatch.
 
@@ -446,7 +448,11 @@ class LoopDetector:
             t_dev = np.linalg.norm(
                 Ts[:, :, :d, d] - np.asarray(T_preds)[:, None, :d, d], axis=-1
             )
-            ok &= t_dev <= self.cfg.verify_max_dev
+            allowed = (
+                np.full(len(cands), self.cfg.verify_max_dev)
+                if max_devs is None else np.asarray(max_devs, np.float64)
+            )
+            ok &= t_dev <= allowed[:, None]
         out = []
         for c, cand in enumerate(cands):
             if not ok[c].any():
@@ -493,8 +499,25 @@ class LoopDetector:
         T_preds = np.stack([
             np.linalg.inv(kf_poses[c.match_idx]) @ pose for c in cands
         ])
+        max_devs = None
+        if self.cfg.verify_drift_rate > 0:
+            # a true closure's deviation from the odometry prediction IS the
+            # drift accumulated over the path between the keyframes — widen
+            # the gate with odometry path length (see BackendConfig)
+            t_kf = np.asarray([np.asarray(p)[:-1, -1] for p in kf_poses])
+            seg = np.linalg.norm(np.diff(t_kf, axis=0), axis=1)
+            cum = np.concatenate([[0.0], np.cumsum(seg)])
+            q = cands[0].query_idx
+            max_devs = np.asarray([
+                max(
+                    self.cfg.verify_max_dev,
+                    self.cfg.verify_drift_rate * abs(cum[q] - cum[c.match_idx]),
+                )
+                for c in cands
+            ])
         lcs = self.verify_batch(
-            cands, query_points, query_mask, mp, mm, T_preds=T_preds
+            cands, query_points, query_mask, mp, mm, T_preds=T_preds,
+            max_devs=max_devs,
         )
         return len(cands), [lc for lc in lcs if lc is not None]
 

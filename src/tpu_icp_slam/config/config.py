@@ -31,6 +31,16 @@ class ICPConfig:
     tol_update: float = 0.0  # >0: also converge when the step's translation
     # magnitude drops below this (meters) — direct and noise-immune
     max_corr_dist: float = 1e9  # correspondence distance gate (meters)
+    corr_range_rate: float = 0.0  # >0: widen the gate per point with its
+    # RANGE: gate_p = max_corr_dist + rate × ‖p‖ — an angular allowance.
+    # A fixed metric gate caps the trackable per-frame rotation at
+    # ~gate/range rad (1.0 m @ 10 m ≈ 6°); the r4 lap's sharpest corner
+    # turns 15°/frame, so rotation became invisible to ICP (points moved
+    # ~2.6 m tangentially, outside the gate) while rmse stayed low — the
+    # heading lagged 60° and frontier inserts baked it into the map.
+    # rate 0.1 ≈ allow 6°+atan(0.1) of untracked rotation at any range
+    # while the NEAR field stays tight (the corner-mouth boundary-latch
+    # drag that motivated the 1.0 m gate lives at close range).
     normal_gate_cos: float = -1.0  # reject pairs with normal dot < this
     damping: float = 1e-6  # Levenberg damping for the 6x6 GN solve
     degen_eps: float = 0.0  # >0: degeneracy-aware solution remapping — zero
@@ -58,6 +68,18 @@ class ICPConfig:
     # (safeguarded; see AA-ICP, PAPERS.md)
     max_step_trans: float = 0.0  # >0: clamp per-iteration GN translation (m)
     max_step_rot: float = 0.0  # >0: clamp per-iteration GN rotation (rad)
+    max_total_trans: float = 0.0  # >0: TRUST REGION on the total correction —
+    # clamp ‖log(T·T0⁻¹)‖ translation to this every iteration, so the solve
+    # refines within a ball around the motion-model prediction instead of
+    # walking off through self-similar structure (r4 lap trace: per-iteration
+    # clamps alone let 18 iterations slide the pose 4–9 m into an aliased
+    # basin at a corner approach, and the misplaced frame then poisoned the
+    # map). In odometry the correction magnitude is bounded by the
+    # prediction error scale (~1 frame of motion); large corrections are the
+    # relocalizer/backend's job, not the front-end's. Scan-to-map pipelines
+    # should set this ~1.5× the per-frame motion. Leave 0 for generic
+    # alignment (cli align, loop-closure verify) where big offsets are real.
+    max_total_rot: float = 0.0  # same, rotation part (rad)
     min_inliers: int = 0  # below this, the iteration keeps T unchanged
     loop_backend: str = "steps"  # steps | fused. "fused" runs the WHOLE
     # point-to-plane iterate-until-converged loop in one pallas_call
@@ -134,6 +156,13 @@ class PipelineConfig:
     motion_damping: float = 0.5  # scale on the constant-velocity twist (0=identity);
     # full CV (1.0) is unstable in the scan-to-map feedback loop (see
     # slam/scan_to_map._step) — 0.25–0.5 measured best on the synthetic logs
+    motion_damping_rot: float = -1.0  # separate damping for the ROTATION
+    # part of the predicted twist (-1 = use motion_damping). The r2
+    # instability argument is translational (position-error feedback
+    # through the map); under-predicting rotation is what starves sharp
+    # corners — the solve must then recover the full turn rate through a
+    # range-limited correspondence gate. 0.85-0.9 keeps the rotation
+    # prediction within a few degrees of a steady turn.
     downsample_voxel: float = 0.0  # 0 = off (host-side preprocessing)
     rgbd_src_stride: int = 1  # >1: decimate the SOURCE pixel grid of the
     # projective ICP by this stride (KinectFusion-style coarse level).
@@ -152,6 +181,13 @@ class BackendConfig:
     min_loop_separation: int = 20  # keyframes
     gating_radius: float = 20.0  # m; candidate gate on odometry-estimate distance
     verify_max_dev: float = 5.0  # m; measured loop vs odometry-predicted relpose
+    verify_drift_rate: float = 0.0  # >0: widen the dev gate with the odometry
+    # PATH LENGTH between the two keyframes: allowed = max(verify_max_dev,
+    # rate × path_m). The deviation of a TRUE closure equals the accumulated
+    # drift, which grows with distance travelled (1-8% measured) — a fixed
+    # 4-5 m gate structurally rejects every true lap closure once drift
+    # exceeds it (r4 TPU endurance: 157 candidates, 0 accepted). Typical
+    # 0.08; alias rejection then rests on rmse + PCM + residual gates.
     verify_max_rmse: float = 0.5
     pg_iters: int = 10
     pg_damping: float = 1e-6
@@ -166,6 +202,17 @@ class BackendConfig:
     # re-optimize (backend/pose_graph.reject_inconsistent_loops)
     max_keyframes: int = 512
     max_factors: int = 2048
+    odom_strain_penalty: float = 3.0  # >0: down-weight each odometry factor
+    # by 1/(1 + penalty × n_strained) where n_strained counts frames in the
+    # factor's span that hit the ICP iteration cap without converging. The
+    # pose graph otherwise treats every odometry factor as equally reliable
+    # and smears a loop-closure discrepancy uniformly around the cycle —
+    # bending segments the front-end tracked perfectly (r4 lap: a 60°
+    # heading loss in one degenerate corner became a 38.7 m mid-lap bow;
+    # strain weighting localizes part of the correction: 30.6 m at 3.0,
+    # 24.8 at 10.0 — BASELINE.md r4). Residual-blind frames (degenerate
+    # geometry that converges happily) still escape this signal; closure
+    # DENSITY (multi-lap revisits) is the structural fix.
     suspect_cycle: float = 1.0  # metres-equivalent PCM cycle score above
     # which an ACCEPTED closure is flagged suspect in reports/saved maps —
     # aliases the whole graph agrees on can't be rejected (DESIGN.md §13)

@@ -76,7 +76,15 @@ def _nn_correspondence(cfg: ICPConfig, dst: PointCloud):
         # fine for argmin but not for gating thresholds or the reported rmse
         diff = cur_pts - q
         d2 = jnp.sum(diff * diff, axis=-1)
-        gate = (d2 <= max_d2).astype(cur_pts.dtype)
+        if cfg.corr_range_rate > 0.0:
+            # angular allowance: widen the gate with point range so a
+            # prediction-lagged rotation stays visible to the solve
+            # (see ICPConfig.corr_range_rate)
+            rng_ = jnp.sqrt(jnp.sum(cur_pts * cur_pts, axis=-1))
+            gate_p = cfg.max_corr_dist + cfg.corr_range_rate * rng_
+            gate = (d2 <= gate_p * gate_p).astype(cur_pts.dtype)
+        else:
+            gate = (d2 <= max_d2).astype(cur_pts.dtype)
         return q, n, gate, d2
 
     return corr
@@ -132,9 +140,11 @@ def align_with_correspondence(
     else:
         from tpu_icp_slam.core import se2 as _lie
     k_twist = 6 if d == 3 else 3
-    # prior anchor: inverse of the init pose, built once outside the loop
+    trust_region = cfg.max_total_trans > 0.0 or cfg.max_total_rot > 0.0
+    # prior/trust anchor: inverse of the init pose, built once outside the loop
     _T0_inv = jnp.linalg.inv(T0) if (
         cfg.prior_trans_weight > 0.0 or cfg.prior_rot_weight > 0.0
+        or trust_region
     ) else None
 
     def body(state):
@@ -225,6 +235,25 @@ def align_with_correspondence(
         else:
             T_new = T_plain
             f_next, g_next = f_prev, g_prev
+
+        if trust_region:
+            # project the TOTAL correction back onto the trust-region ball
+            # around the init pose (see ICPConfig.max_total_trans): the loop
+            # keeps refining, but never walks beyond the prediction-error
+            # scale — the front-end's defense against aliased-basin capture
+            xi_tot = _lie.log(T_new @ _T0_inv)
+            s = jnp.asarray(1.0, dtype)
+            if cfg.max_total_trans > 0.0:
+                tn = jnp.linalg.norm(xi_tot[:d])
+                s = jnp.minimum(
+                    s, cfg.max_total_trans / jnp.maximum(tn, 1e-12)
+                )
+            if cfg.max_total_rot > 0.0:
+                rn = jnp.linalg.norm(xi_tot[d:])
+                s = jnp.minimum(
+                    s, cfg.max_total_rot / jnp.maximum(rn, 1e-12)
+                )
+            T_new = jnp.where(s < 1.0, _lie.exp(s * xi_tot) @ T0, T_new)
 
         wsum = jnp.maximum(jnp.sum(w), 1e-12)
         rmse = jnp.sqrt(jnp.sum(w * d2) / wsum)

@@ -52,12 +52,16 @@ row is fetched with ONE extra MXU pass per tile,
     qn_tile = onehot(ll) @ [dst_hi | dst_lo | nrm_hi | nrm_lo]   (TM, 16)
 
 folded across model tiles with the same `take` mask as the running argmin.
-The operand is Dekker hi/lo packed bf16, and one-hot rows make every MXU
-product exact (1.0·bf16 with all other terms +0.0), so the reconstructed
-q = q_hi + q_lo recovers the f32 model coordinates to ~2^-18 relative —
-mm-exact at map scale — even with non-conformant bf16 accumulation. Costs
-one 16-lane bf16 pass per tile (≈ the bf16 NN contraction itself); buys
-TPU compilability and keeps correspondence arrays out of HBM entirely.
+In bf16 mode the operand is Dekker hi/lo packed bf16, and one-hot rows make
+every MXU product exact (1.0·bf16 with all other terms +0.0), so the
+reconstructed q = q_hi + q_lo recovers the f32 model coordinates to ~2^-16
+relative (bf16 carries ~9 bits of precision per limb) — mm-exact at map
+scale — even with non-conformant bf16 accumulation. In "highest" mode the
+fetch is one f32 HIGHEST-precision pass against the f32 [coords|normals]
+operand instead: exact f32 end to end (advisor r3 — routing the highest
+tier through the bf16 hi/lo operand silently weakened its residual
+promise). Either way it costs ≈ one extra MXU pass per tile, buys TPU
+compilability, and keeps correspondence arrays out of HBM entirely.
 """
 
 from __future__ import annotations
@@ -159,6 +163,29 @@ def _se3_log_scalars(R, t):
     return rho + phi
 
 
+def _orig_correction_scalars(Tc_, T0_, cc):
+    """Original-frame correction X = S·(T_cent·T0c⁻¹)·S⁻¹ on scalars.
+
+    Tc_: current T (recentered frame) as 4x4 scalar lists; T0_: init T in
+    the recentered frame; cc: the recenter offset c. With X_cent =
+    T_cent·T0c⁻¹ the original-frame correction keeps the rotation and has
+    t_orig = t_x + c − R_x·c (shift conjugation). Shared by the in-kernel
+    motion prior and the total-correction trust region.
+    """
+    R0T = [[T0_[j][i] for j in range(3)] for i in range(3)]
+    t0i = [-(R0T[i][0] * T0_[0][3] + R0T[i][1] * T0_[1][3]
+             + R0T[i][2] * T0_[2][3]) for i in range(3)]
+    Rx = [[Tc_[i][0] * R0T[0][j] + Tc_[i][1] * R0T[1][j]
+           + Tc_[i][2] * R0T[2][j] for j in range(3)]
+          for i in range(3)]
+    tx = [Tc_[i][0] * t0i[0] + Tc_[i][1] * t0i[1]
+          + Tc_[i][2] * t0i[2] + Tc_[i][3] for i in range(3)]
+    t_orig = [tx[i] + cc[i]
+              - (Rx[i][0] * cc[0] + Rx[i][1] * cc[1]
+                 + Rx[i][2] * cc[2]) for i in range(3)]
+    return Rx, t_orig
+
+
 def _se3_exp_scalars(xi):
     """se3.exp on scalars: xi = [rho(3), phi(3)] -> (R 3x3 lists, t 3 list).
 
@@ -198,7 +225,10 @@ def _icp_kernel(
     # VMEM inputs
     src_ref,    # (Mp, 8) f32: [x, y, z, 1, 0...] valid; padded rows zero
     smask_ref,  # (1, Mp) f32 source validity
-    dstc_ref,   # (Np, 8) f32 RECENTERED model coords [x, y, z, 0...]
+    dstc_ref,   # (Np, 8) f32 RECENTERED model [x, y, z, nx, ny, nz, 0, 0]
+                # (normals ride lanes 3..5: the source operand's lanes 3..7
+                # are zeroed, so they never enter the NN contraction; the
+                # highest-mode f32 gather fetches coords+normals in one pass)
     baug_ref,   # (Np, 16) bf16 packed model lanes (d^2 trick) — bf16 mode
     bsq_ref,    # (1, Np) f32 ||b||^2 of recentered model — highest mode
     gat_ref,    # (Np, 16) bf16 gather operand [d_hi(3) d_lo(3) n_hi(3) n_lo(3) 0(4)]
@@ -217,7 +247,7 @@ def _icp_kernel(
 ):
     (tile_m, tile_n, mp, np_, max_iters, tol, tol_update, max_d2, huber,
      damping, step_scale, max_step_trans, max_step_rot, min_inliers,
-     precision, prior_t, prior_r) = params
+     precision, prior_t, prior_r, max_total_trans, max_total_rot) = params
     nmt = mp // tile_m
     nnt = np_ // tile_n
     f32 = jnp.float32
@@ -291,19 +321,39 @@ def _icp_kernel(
                 ll = jnp.argmin(e, axis=1).astype(jnp.int32)  # in-tile idx
 
                 # gather-as-matmul (header note): one-hot rows fetch the
-                # matched model row's packed hi/lo coords+normals. Exact:
-                # each output lane is 1.0*bf16 + zeros.
-                oh = (jax.lax.broadcasted_iota(jnp.int32, (tile_m, tile_n), 1)
-                      == ll[:, None]).astype(jnp.bfloat16)
-                qn_tile = jax.lax.dot_general(
-                    oh, gat_ref[pl.ds(j * tile_n, tile_n), :],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=f32,
-                    # explicit: the ambient jax_default_matmul_precision is
-                    # HIGHEST (core/__init__), which Mosaic rejects for bf16
-                    # operands; one-hot rows make DEFAULT exact anyway
-                    precision=jax.lax.Precision.DEFAULT,
-                )  # (TM, 16)
+                # matched model row.
+                oh_i = jax.lax.broadcasted_iota(
+                    jnp.int32, (tile_m, tile_n), 1) == ll[:, None]
+                if precision == "bf16":
+                    # packed hi/lo coords+normals; exact per lane: each
+                    # output is 1.0*bf16 + zeros (~2^-16 on reconstruction)
+                    qn_tile = jax.lax.dot_general(
+                        oh_i.astype(jnp.bfloat16),
+                        gat_ref[pl.ds(j * tile_n, tile_n), :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        # explicit: the ambient jax_default_matmul_precision
+                        # is HIGHEST (core/__init__), which Mosaic rejects
+                        # for bf16 operands; one-hot rows make DEFAULT exact
+                        precision=jax.lax.Precision.DEFAULT,
+                    )  # (TM, 16)
+                else:
+                    # exact f32 fetch against the f32 [coords|normals]
+                    # operand (advisor r3): one HIGHEST pass; 1.0*f32 is
+                    # exact through the hi/lo MXU decomposition. Re-spread
+                    # to the hi/lo lane layout gn_tile reconstructs from
+                    # (lo lanes zero -> q_hi + 0 = exact q).
+                    qt = jax.lax.dot_general(
+                        oh_i.astype(f32),
+                        dstc_ref[pl.ds(j * tile_n, tile_n), :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (TM, 8): [q(3) | n(3) | 0 0]
+                    z = jnp.zeros((tile_m, 3), f32)
+                    qn_tile = jnp.concatenate(
+                        [qt[:, 0:3], z, qt[:, 3:6], z,
+                         jnp.zeros((tile_m, _L16 - 12), f32)], axis=1)
 
                 def init():
                     best_ref[0, pl.ds(i * tile_m, tile_m)] = lb
@@ -405,19 +455,8 @@ def _icp_kernel(
             # rotation, translation t_orig = t_x + c − R_x·c.
             Tc_ = [[T_ref[i, j] for j in range(4)] for i in range(4)]
             T0_ = [[initT_ref[i, j] for j in range(4)] for i in range(4)]
-            # T0c⁻¹ = [R0ᵀ | −R0ᵀ t0]
-            R0T = [[T0_[j][i] for j in range(3)] for i in range(3)]
-            t0i = [-(R0T[i][0] * T0_[0][3] + R0T[i][1] * T0_[1][3]
-                     + R0T[i][2] * T0_[2][3]) for i in range(3)]
-            Rx = [[Tc_[i][0] * R0T[0][j] + Tc_[i][1] * R0T[1][j]
-                   + Tc_[i][2] * R0T[2][j] for j in range(3)]
-                  for i in range(3)]
-            tx = [Tc_[i][0] * t0i[0] + Tc_[i][1] * t0i[1]
-                  + Tc_[i][2] * t0i[2] + Tc_[i][3] for i in range(3)]
             cc = [c0, c1, c2]
-            t_orig = [tx[i] + cc[i]
-                      - (Rx[i][0] * cc[0] + Rx[i][1] * cc[1]
-                         + Rx[i][2] * cc[2]) for i in range(3)]
+            Rx, t_orig = _orig_correction_scalars(Tc_, T0_, cc)
             xi_cur = _se3_log_scalars(Rx, t_orig)
             # λ = fraction × Σw, matching icp.loop (scale-relative prior)
             wsum_pr = jnp.maximum(sg_ref[0, 6], 1e-6)
@@ -474,6 +513,46 @@ def _icp_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )
 
+        # ---- 7b. trust region on the TOTAL correction (parity with
+        # icp.loop's max_total_trans/rot): project log(T·T0⁻¹) — measured
+        # in the ORIGINAL frame via the shift conjugation — back onto the
+        # trust ball, and rebuild T_cent = S⁻¹·exp(s·xi)·S·T0c when the
+        # clamp binds. All scalar ops; one (8,8) masked blend store.
+        if max_total_trans > 0.0 or max_total_rot > 0.0:
+            Tc_ = [[T_ref[i, j] for j in range(4)] for i in range(4)]
+            T0_ = [[initT_ref[i, j] for j in range(4)] for i in range(4)]
+            cc = [c0, c1, c2]
+            Rx, t_orig = _orig_correction_scalars(Tc_, T0_, cc)
+            xi_tot = _se3_log_scalars(Rx, t_orig)
+            s = jnp.float32(1.0)
+            if max_total_trans > 0.0:
+                tnrm = jnp.sqrt(xi_tot[0] ** 2 + xi_tot[1] ** 2
+                                + xi_tot[2] ** 2)
+                s = jnp.minimum(
+                    s, max_total_trans / jnp.maximum(tnrm, 1e-12))
+            if max_total_rot > 0.0:
+                rnrm = jnp.sqrt(xi_tot[3] ** 2 + xi_tot[4] ** 2
+                                + xi_tot[5] ** 2)
+                s = jnp.minimum(
+                    s, max_total_rot / jnp.maximum(rnrm, 1e-12))
+            Rc, tc = _se3_exp_scalars([x * s for x in xi_tot])
+            # X_cent = S⁻¹·X_orig·S: same rotation, t_cent = t + (Rc−I)c
+            tcent = [tc[i]
+                     + (Rc[i][0] * cc[0] + Rc[i][1] * cc[1]
+                        + Rc[i][2] * cc[2]) - cc[i] for i in range(3)]
+            # T_new = X_cent @ T0c (T0_ row 3 = [0,0,0,1])
+            Tn = [[Rc[i][0] * T0_[0][j] + Rc[i][1] * T0_[1][j]
+                   + Rc[i][2] * T0_[2][j] + tcent[i] * T0_[3][j]
+                   for j in range(4)] for i in range(3)]
+            ri8b = jax.lax.broadcasted_iota(jnp.int32, (_L8, _L8), 0)
+            ci8b = jax.lax.broadcasted_iota(jnp.int32, (_L8, _L8), 1)
+            M = jnp.zeros((_L8, _L8), f32)
+            for i in range(3):
+                for j in range(4):
+                    M = M + Tn[i][j] * ((ri8b == i) & (ci8b == j)).astype(f32)
+            M = M + ((ri8b == 3) & (ci8b == 3)).astype(f32)
+            T_ref[:, :] = jnp.where(s < 1.0, M, T_ref[:, :])
+
         # ---- 8. convergence ----------------------------------------------
         rmse = jnp.sqrt(wd2 / wsum)
         conv = jnp.abs(prev_rmse - rmse) < tol
@@ -518,7 +597,8 @@ def _icp_kernel(
         "max_iters", "tol", "tol_update", "max_corr_dist", "huber_delta",
         "damping", "step_scale", "max_step_trans", "max_step_rot",
         "min_inliers", "precision", "tile_m", "tile_n",
-        "prior_trans_weight", "prior_rot_weight", "interpret",
+        "prior_trans_weight", "prior_rot_weight",
+        "max_total_trans", "max_total_rot", "interpret",
     ),
 )
 def icp_fused_pallas(
@@ -545,6 +625,8 @@ def icp_fused_pallas(
     tile_n: int = 2048,
     prior_trans_weight: float = 0.0,
     prior_rot_weight: float = 0.0,
+    max_total_trans: float = 0.0,
+    max_total_rot: float = 0.0,
     interpret: bool | None = None,
 ):
     """Whole-loop fused point-to-plane ICP. Returns (T, rmse, iters,
@@ -576,6 +658,25 @@ def icp_fused_pallas(
 
     tile_m_ = min(tile_m, _round_up(m, 8))
     tile_n_ = min(tile_n, _round_up(n, 128))
+    mp = _round_up(m, tile_m_)
+    np_ = _round_up(n, tile_n_)
+    # VMEM-aware tile shrink: everything is resident (operands + scratch)
+    # PLUS the per-fold temporaries (distance tile, one-hot, and Mosaic's
+    # intermediate copies). Constants CALIBRATED against a measured OOM:
+    # at 16,384×16,384 with 1024×1024 tiles the compiler reports a 20.11 MB
+    # scoped allocation vs the 16 MB limit (r4 fused smoke) — i.e. ~9.7 MB
+    # of per-row state (~590 B/row across src+dst) + ~10 B per tile
+    # element. Budget 14 MB leaves slack for layout padding. Shrink tile_n
+    # (then tile_m) until the estimate fits; callers can still pin tiles
+    # via nn_tile_m/n but the shrink is a floor against compile OOM.
+    def _vmem_est(tm, tn):
+        return mp * 430 + np_ * 160 + tm * tn * 10
+    while (tile_n_ > 256 and tile_n_ % 256 == 0
+           and _vmem_est(tile_m_, tile_n_) > 14_000_000):
+        tile_n_ = tile_n_ // 2
+    while (tile_m_ > 256 and tile_m_ % 16 == 0
+           and _vmem_est(tile_m_, tile_n_) > 14_000_000):
+        tile_m_ = tile_m_ // 2
     mp = _round_up(m, tile_m_)
     np_ = _round_up(n, tile_n_)
 
@@ -630,6 +731,10 @@ def icp_fused_pallas(
         [b_hi, b_hi, b_lo, oneb, oneb, bsq_hi, bsq_lo], axis=1)
     baug = jnp.pad(baug, ((0, 0), (0, _L16 - baug.shape[1])))
     bsq = bsq32.reshape(1, np_)
+    # normals ride the f32 operand's lanes 3..5 for the highest-mode exact
+    # gather; safe because the source operand's lanes 3..7 are zeroed before
+    # the NN contraction (and bsq/baug above were built from coords only)
+    dst8 = dst8.at[:, 3:6].set(nrm_np)
 
     params = (
         tile_m_, tile_n_, mp, np_, max_iters, float(tol), float(tol_update),
@@ -637,6 +742,7 @@ def icp_fused_pallas(
         float(step_scale), float(max_step_trans), float(max_step_rot),
         int(min_inliers), precision,
         float(prior_trans_weight), float(prior_rot_weight),
+        float(max_total_trans), float(max_total_rot),
     )
     outT, stats = pl.pallas_call(
         functools.partial(_icp_kernel, params),

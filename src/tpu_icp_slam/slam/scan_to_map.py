@@ -124,12 +124,20 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     # the loop while keeping most of the basin-of-convergence benefit.
     if p.motion_model == "constant_velocity":
         alpha = p.motion_damping
-        if alpha >= 1.0:
+        alpha_r = p.motion_damping_rot if p.motion_damping_rot >= 0 else alpha
+        if alpha >= 1.0 and alpha_r >= 1.0:
             init = state.pose @ state.T_rel
-        elif alpha <= 0.0:
+        elif alpha <= 0.0 and alpha_r <= 0.0:
             init = state.pose
         else:
-            init = state.pose @ se3.exp(alpha * se3.log(state.T_rel))
+            xi = se3.log(state.T_rel)
+            # split damping: rotation under-prediction starves sharp
+            # corners (see PipelineConfig.motion_damping_rot); the r2
+            # instability that motivated damping is translational
+            scale = jnp.concatenate([
+                jnp.full(3, alpha, xi.dtype), jnp.full(3, alpha_r, xi.dtype)
+            ])
+            init = state.pose @ se3.exp(scale * xi)
     else:
         init = state.pose
     center = init[:3, 3]
@@ -185,7 +193,8 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     r_gate = jnp.maximum(r_cover - stale_off - cfg.icp.max_corr_dist, 0.0)
     if (cfg.icp.loop_backend == "fused"
             and cfg.icp.method == "point_to_plane"
-            and cfg.icp.degen_eps == 0.0):  # no 6x6 eigensolver in-kernel
+            and cfg.icp.degen_eps == 0.0  # no 6x6 eigensolver in-kernel
+            and cfg.icp.corr_range_rate == 0.0):  # no per-point gate in-kernel
         # whole-loop fused Pallas ICP: one kernel launch per align — removes
         # the per-while_loop-iteration backend control floor (BASELINE.md r3
         # SOL decomposition: ~0.55 ms/iteration of non-kernel time)
@@ -202,6 +211,8 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
             tile_m=ic.nn_tile_m or 1024, tile_n=ic.nn_tile_n or 2048,
             prior_trans_weight=ic.prior_trans_weight,
             prior_rot_weight=ic.prior_rot_weight,
+            max_total_trans=ic.max_total_trans,
+            max_total_rot=ic.max_total_rot,
         )
         res = ICPResult(
             T=T, rmse=rmse, iters=iters, n_inliers=n_inl, converged=conv

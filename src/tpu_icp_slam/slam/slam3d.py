@@ -157,6 +157,10 @@ class Slam3D:
 
         self.final_state = None
         self.chunk_stats: list = []  # (first_frame, n_frames, wall_s)
+        # per-frame front-end strain (hit the ICP cap without converging):
+        # feeds odometry-factor down-weighting in the pose graph (see
+        # BackendConfig.odom_strain_penalty)
+        strain = [False] * start
         if mode == "fused":
             import time as _time
 
@@ -170,6 +174,10 @@ class Slam3D:
                 )
                 all_poses = np.asarray(infos["pose"], np.float64)  # readback
                 kf_flags = np.asarray(infos["is_keyframe"])  # = honest fence
+                strain.extend((
+                    (np.asarray(infos["iters"]) >= cfg.icp.max_iters)
+                    & ~np.asarray(infos["converged"])
+                ).tolist())
                 self.chunk_stats.append(
                     (f0, f1 - f0, _time.perf_counter() - t0)
                 )
@@ -203,7 +211,12 @@ class Slam3D:
                     state = prev_state
                     poses.append(poses[-1])
                     anchor_kf.append(len(kf_frames) - 1)
+                    strain.append(True)  # poisoned frame = maximal strain
                     continue
+                strain.append(bool(
+                    int(info["iters"]) >= cfg.icp.max_iters
+                    and not bool(info["converged"])
+                ))
                 poses.append(pose)
                 if bool(info["is_keyframe"]):
                     on_keyframe(f, pose)
@@ -246,9 +259,14 @@ class Slam3D:
             if not closures:
                 return poses, report
         factors = []
+        pen = cfg.backend.odom_strain_penalty
         for k in range(1, len(kf_poses)):
             rel = np.linalg.inv(kf_poses[k - 1]) @ kf_poses[k]
-            factors.append((k - 1, k, rel, 1.0))
+            w = 1.0
+            if pen > 0:
+                n_str = sum(strain[kf_frames[k - 1] + 1: kf_frames[k] + 1])
+                w = 1.0 / (1.0 + pen * n_str)
+            factors.append((k - 1, k, rel, w))
         for lc in closures:
             factors.append((lc.i, lc.j, lc.T_ij, 2.0))
         import jax.numpy as jnp

@@ -221,3 +221,27 @@ def test_fused_motion_prior_matches_unfused():
     Tp = np.asarray(Tp, np.float64)
     assert abs(Tp[2, 3] + 0.3) < 0.02, Tp[:3, 3]
     assert abs(Tp[0, 3]) < 1e-3 and abs(Tp[1, 3]) < 1e-3, Tp[:3, 3]
+
+
+def test_fused_trust_region_matches_unfused():
+    """r4 parity: the in-kernel total-correction trust region (7b) must
+    reproduce the steps path's max_total_trans/rot projection — both when
+    the clamp BINDS (offset beyond the ball) and when it doesn't."""
+    src, smask, dst, nrm, dmask, T_true = _problem(seed=3, offset_scale=0.5)
+    over = dict(max_total_trans=0.25, max_total_rot=0.1, max_iters=8)
+    res = _run_unfused(src, smask, dst, nrm, dmask, r_gate=1e6, **over)
+    T, rmse, iters, n_inl, conv = _run_fused(
+        src, smask, dst, nrm, dmask, r_gate=1e6, **over)
+    # the clamp must actually bind on this problem (offset > ball)
+    xi = np.asarray(se3.log(jnp.asarray(np.asarray(res.T))))
+    assert np.linalg.norm(xi[:3]) <= 0.25 + 1e-3
+    t_err, r_err = _pose_err(res.T, T)
+    assert t_err < 2e-3 and r_err < 2e-3, (t_err, r_err)
+    # non-binding clamp: same answer as no clamp at all
+    src, smask, dst, nrm, dmask, T_true = _problem(seed=4, offset_scale=0.1)
+    T_free, *_ = _run_fused(src, smask, dst, nrm, dmask, r_gate=1e6)
+    T_clamped, *_ = _run_fused(
+        src, smask, dst, nrm, dmask, r_gate=1e6,
+        max_total_trans=50.0, max_total_rot=3.0)
+    t_err, r_err = _pose_err(T_free, T_clamped)
+    assert t_err < 1e-4 and r_err < 1e-4, (t_err, r_err)
