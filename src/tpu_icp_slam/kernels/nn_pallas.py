@@ -118,7 +118,7 @@ def _round_up(x: int, m: int) -> int:
 def nn_bruteforce_pallas(
     src: jnp.ndarray,
     dst: jnp.ndarray,
-    tile_m: int = 1024,
+    tile_m: int = 512,
     tile_n: int = 8192,
     interpret: bool | None = None,
     precision: str = "highest",  # highest | bf16 (recentered single-pass)
@@ -130,12 +130,14 @@ def nn_bruteforce_pallas(
     off). dist_sq comes from the factored form: recompute in difference form
     where f32 cancellation matters (icp.loop does).
 
-    Tile defaults (1024×8192) are the r2-era choice; the honest sweep at the
-    headline 16,384×131,072 regime (`scripts/exp_tiles_headline.py`, with the
-    obs.realize fence) is PENDING until its queue stage runs — see "tile
-    defaults" in BASELINE.md for status. (The r1 sweep numbers previously
-    cited here were enqueue rates and were formally invalidated; 4096×8192
-    VMEM-OOMs at the 16 MB scoped limit, which still bounds tile_m·tile_n.)
+    Tile defaults (512×8192) come from the r4 honest sweep at the headline
+    16,384×131,072 regime (`scripts/exp_tiles_headline.py`, obs.realize
+    fence, 2026-08-19): bf16 1.829 ms/call vs 1.953 at the old r2-era
+    1024×8192 — table in BASELINE.md "NN tile sweep". Single-regime sweep;
+    pin tile_m/tile_n at call sites for very different shapes. (The r1
+    sweep numbers previously cited here were enqueue rates and were
+    formally invalidated; 4096×8192 VMEM-OOMs at the 16 MB scoped limit,
+    which still bounds tile_m·tile_n.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
