@@ -70,6 +70,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -125,16 +126,31 @@ def _chol6_solve(h, g):
     return xi
 
 
+def _acos_scalar(x):
+    """arccos via the Abramowitz–Stegun 4.4.45 polynomial (|err| ≤ 5e-5
+    rad): Mosaic has NO inverse-trig lowering (acos/asin/atan/atan2 all
+    unimplemented — the r4 fused A/B failed at trace time on `acos` the
+    moment the in-kernel trust region pulled in the log map). Branchless:
+    sqrt/mul/add/select only.
+    """
+    t = jnp.abs(x)
+    p = jnp.sqrt(jnp.maximum(1.0 - t, 0.0)) * (
+        1.5707288 + t * (-0.2121144 + t * (0.0742610 + t * (-0.0187293)))
+    )
+    return jnp.where(x >= 0.0, p, jnp.float32(np.pi) - p)
+
+
 def _se3_log_scalars(R, t):
     """se3.log on scalars: (R 3x3 lists, t 3 list) -> xi = [rho(3), phi(3)].
 
-    Matches core.se3.log including the small-angle branches. Used by the
-    in-kernel motion prior (cost λ/2‖log(T·T0⁻¹)‖², mirroring icp.loop's
-    prior_w/xi_prior path).
+    Matches core.se3.log including the small-angle branches (theta via the
+    polynomial arccos above, ~5e-5 rad). Used by the in-kernel motion
+    prior and the trust region (cost λ/2‖log(T·T0⁻¹)‖², mirroring
+    icp.loop's prior_w/xi_prior path).
     """
     tr = R[0][0] + R[1][1] + R[2][2]
     cos_t = jnp.clip(0.5 * (tr - 1.0), -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
+    theta = _acos_scalar(cos_t)
     t2 = theta * theta
     small = t2 < 1e-8
     # phi = theta/(2 sin theta) * vee(R - R^T); small-angle -> 0.5 * vee
