@@ -56,6 +56,10 @@ def _cfg(backend_on: bool):
             step_scale=1.4, tol_update=0.01, nn_precision="bf16",
             prior_trans_weight=0.004, prior_rot_weight=0.04,
             max_total_trans=1.5, max_total_rot=0.5,
+            # LAP_LOOP=fused: the whole lap (corners + gates + closures)
+            # through the whole-loop fused Pallas kernel — the 3D fused-path
+            # soak (the 2D adversarial soak can't reach the 3D-only kernel)
+            loop_backend=os.environ.get("LAP_LOOP", "steps"),
         ),
         mapping=(
             MappingConfig(map_capacity=32768, local_model_size=4096,

@@ -140,6 +140,9 @@ class Slam2D:
                     closures.extend(lcs)
             anchor_kf.append(len(kf_frames) - 1)
 
+        # per-frame front-end strain -> odometry-factor down-weighting
+        # (see BackendConfig.odom_strain_penalty; mirrors Slam3D)
+        strain = [False] * start
         if mode == "fused":
             if lifted:
                 st = pipe3.init_state(pts3[0], msk[0])
@@ -153,6 +156,10 @@ class Slam2D:
                 st, infos = self.pipe.run_fused(st, pts[1:], msk[1:])
                 all_poses = np.asarray(infos["pose"], np.float64)
                 poses = np.concatenate([np.eye(3)[None], all_poses])
+            strain.extend((
+                (np.asarray(infos["iters"]) >= cfg.icp.max_iters)
+                & ~np.asarray(infos["converged"])
+            ).tolist())
             for f in range(1, len(pts)):
                 process_frame(f, poses[f])
         else:
@@ -179,7 +186,12 @@ class Slam2D:
                     state = prev_state
                     poses_l.append(poses_l[-1])
                     anchor_kf.append(len(kf_frames) - 1)
+                    strain.append(True)
                     continue
+                strain.append(bool(
+                    int(info["iters"]) >= cfg.icp.max_iters
+                    and not bool(info["converged"])
+                ))
                 poses_l.append(pose2)
                 process_frame(f, pose2)
                 if (
@@ -219,9 +231,14 @@ class Slam2D:
             if not closures:
                 return poses, report
         factors = []
+        pen = cfg.backend.odom_strain_penalty
         for k in range(1, len(kf3)):
             rel = np.linalg.inv(kf3[k - 1]) @ kf3[k]
-            factors.append((k - 1, k, rel, 1.0))
+            w = 1.0
+            if pen > 0:
+                n_str = sum(strain[kf_frames[k - 1] + 1: kf_frames[k] + 1])
+                w = 1.0 / (1.0 + pen * n_str)
+            factors.append((k - 1, k, rel, w))
         for lc in closures:
             factors.append((lc.i, lc.j, _to3(lc.T_ij), 2.0))
         graph = pg.from_arrays(kf3, factors, dtype=jnp.float64)
