@@ -9,8 +9,13 @@ correspondence index/coordinate arrays between them. This kernel keeps the
 scan, the local model, and ALL iteration state resident in VMEM and runs
 the full iterate-until-converged loop on-core:
 
+    All point arrays are stored TRANSPOSED — (8|16 rows, N points-on-lanes)
+    — because (N, 8)/(N, 16) layouts pad their narrow last dim to 128 lanes
+    (6-12% utilization; measured 20.11 MB resident -> compile-time VMEM OOM
+    at the 16,384x16,384 flagship regime, r4).
+
     while not converged and it < max_iters:
-      1. cur  = src @ T^T                       (one (M,8)x(8,8) MXU pass)
+      1. cur  = T @ src                         (one (8,8)x(8,M) MXU pass)
       2. NN   = tiled d^2-packed bf16 argmin     (same math as nn_pallas
                over the model                     "bf16" mode, incl. hi/lo
                                                   Dekker lane packing)
@@ -238,26 +243,30 @@ def _icp_kernel(
     params,
     # scalar-prefetch style inputs (SMEM): r_gate etc.
     rgate_ref,
-    # VMEM inputs
-    src_ref,    # (Mp, 8) f32: [x, y, z, 1, 0...] valid; padded rows zero
+    # VMEM inputs — ALL point arrays are TRANSPOSED (lanes along points).
+    # The original (Np, 8)/(Np, 16) layouts padded their narrow last dim to
+    # 128 lanes (6-12% lane utilization): ~20.11 MB resident at the
+    # 16,384x16,384 flagship regime, a measured compile-time VMEM OOM (r4).
+    # (rows, Np) layouts use every lane: ~4.4 MB for the same data.
+    src_ref,    # (8, Mp) f32 rows [x; y; z; 1; 0...]; padded cols zero
     smask_ref,  # (1, Mp) f32 source validity
-    dstc_ref,   # (Np, 8) f32 RECENTERED model [x, y, z, nx, ny, nz, 0, 0]
-                # (normals ride lanes 3..5: the source operand's lanes 3..7
+    dstc_ref,   # (8, Np) f32 RECENTERED model rows [x; y; z; nx; ny; nz; 0; 0]
+                # (normals ride rows 3..5: the source operand's rows 3..7
                 # are zeroed, so they never enter the NN contraction; the
                 # highest-mode f32 gather fetches coords+normals in one pass)
-    baug_ref,   # (Np, 16) bf16 packed model lanes (d^2 trick) — bf16 mode
+    baug_ref,   # (16, Np) bf16 packed model rows (d^2 trick) — bf16 mode
     bsq_ref,    # (1, Np) f32 ||b||^2 of recentered model — highest mode
-    gat_ref,    # (Np, 16) bf16 gather operand [d_hi(3) d_lo(3) n_hi(3) n_lo(3) 0(4)]
+    gat_ref,    # (16, Np) bf16 gather operand rows [d_hi(3); d_lo(3); n_hi(3); n_lo(3); 0(4)]
     initT_ref,  # (8, 8) f32, top-left 4x4 = initial T (recentered frame)
     # outputs
     outT_ref,   # (8, 8) f32
     stats_ref,  # (1, 8) f32: [rmse, iters, n_inl, converged, 0...]
     # scratch
     T_ref,      # (8, 8) f32 current transform
-    cur_ref,    # (Mp, 8) f32 transformed source
-    aaug_ref,   # (Mp, 16) bf16 packed source lanes
+    cur_ref,    # (8, Mp) f32 transformed source
+    aaug_ref,   # (16, Mp) bf16 packed source rows
     best_ref,   # (1, Mp) f32 running best NN score
-    qn_ref,     # (Mp, 16) f32 gathered correspondence [q_hi q_lo n_hi n_lo]
+    qn_ref,     # (16, Mp) f32 gathered correspondence rows [q_hi; q_lo; n_hi; n_lo]
     h_ref,      # (8, 8) f32 normal equations accumulator
     sg_ref,     # (1, 16) f32 [g(6) | wsum, wd2, ninl, ...] accumulator
 ):
@@ -274,36 +283,34 @@ def _icp_kernel(
     # measured from the sensor origin of the ORIGINAL frame, i.e. on cur + c
     c0, c1, c2 = rgate_ref[1], rgate_ref[2], rgate_ref[3]
 
-    lane_xyz = (jax.lax.broadcasted_iota(jnp.int32, (1, _L8), 1) < 3
-                ).astype(f32)  # [1,1,1,0,...]
+    row_xyz = (jax.lax.broadcasted_iota(jnp.int32, (_L8, 1), 0) < 3
+               ).astype(f32)  # column mask [1;1;1;0;...]
 
     def one_iteration(prev_rmse):
-        # ---- 1. transform: cur = src4 @ T^T (contract lane dims) ----------
+        # ---- 1. transform: cur = T @ src (contract row dims) --------------
         cur = jax.lax.dot_general(
-            src_ref[:, :], T_ref[:, :],
-            dimension_numbers=(((1,), (1,)), ((), ())),
+            T_ref[:, :], src_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=jax.lax.Precision.HIGHEST,
-        )  # (Mp, 8): [x', y', z', 1, 0...]
-        cur = cur * lane_xyz  # zero the homogeneous/pad lanes
+        )  # (8, Mp): rows [x'; y'; z'; 1; 0...]
+        cur = cur * row_xyz  # zero the homogeneous/pad rows
         cur_ref[:, :] = cur
 
-        # ---- 2. pack source lanes for the NN contraction ------------------
+        # ---- 2. pack source rows for the NN contraction -------------------
         if precision == "bf16":
             a_hi, a_lo = _split_hi_lo(cur)
-            asq = jnp.sum(cur * cur, axis=1, keepdims=True)  # (Mp, 1)
+            asq = jnp.sum(cur * cur, axis=0, keepdims=True)  # (1, Mp)
             asq_hi, asq_lo = _split_hi_lo(asq)
             two = jnp.bfloat16(-2.0)
             one = jnp.ones_like(asq_hi)
-            # lane layout MUST mirror nn_pallas bf16 packing:
-            #   a: [-2a_hi(3), -2a_lo(3), -2a_hi(3), asq_hi, asq_lo, 1, 1]
-            #   b: [ b_hi(3),   b_hi(3),   b_lo(3),  1,      1, bsq_hi, bsq_lo]
-            # single full-row store (Mosaic: sub-lane slice stores of odd
-            # widths are fragile; concatenate + one vector store is not)
+            # row layout MUST mirror the (transposed) model packing:
+            #   a: [-2a_hi(3); -2a_lo(3); -2a_hi(3); asq_hi; asq_lo; 1; 1]
+            #   b: [ b_hi(3);   b_hi(3);   b_lo(3);  1;      1; bsq_hi; bsq_lo]
             aaug_ref[:, :] = jnp.concatenate(
-                [two * a_hi[:, 0:3], two * a_lo[:, 0:3],
-                 two * a_hi[:, 0:3], asq_hi, asq_lo, one, one,
-                 jnp.zeros_like(a_hi[:, 0:3])], axis=1)
+                [two * a_hi[0:3], two * a_lo[0:3],
+                 two * a_hi[0:3], asq_hi, asq_lo, one, one,
+                 jnp.zeros_like(a_hi[0:3])], axis=0)
         # highest mode reads cur_ref directly in the NN tiles (f32 end to
         # end); routing through the bf16 aaug scratch would silently lose
         # the precision the mode promises
@@ -312,22 +319,22 @@ def _icp_kernel(
         def src_tile(i, _):
             def dst_tile(j, _):
                 if precision == "bf16":
-                    a_tile = aaug_ref[pl.ds(i * tile_m, tile_m), :]
-                    b_tile = baug_ref[pl.ds(j * tile_n, tile_n), :]
+                    a_tile = aaug_ref[:, pl.ds(i * tile_m, tile_m)]
+                    b_tile = baug_ref[:, pl.ds(j * tile_n, tile_n)]
                     e = jax.lax.dot_general(
                         a_tile, b_tile,
-                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=f32,
                         precision=jax.lax.Precision.DEFAULT,
                     )  # (TM, TN) ≈ d^2 directly
                 else:
                     # e = ||b||^2 - 2 a·b (row-constant ||a||^2 omitted —
                     # argmin-invariant), all f32
-                    a_tile = cur_ref[pl.ds(i * tile_m, tile_m), :]
+                    a_tile = cur_ref[:, pl.ds(i * tile_m, tile_m)]
                     e = jax.lax.dot_general(
                         a_tile,
-                        dstc_ref[pl.ds(j * tile_n, tile_n), :],
-                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        dstc_ref[:, pl.ds(j * tile_n, tile_n)],
+                        dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST,
                     )
@@ -337,52 +344,52 @@ def _icp_kernel(
                 ll = jnp.argmin(e, axis=1).astype(jnp.int32)  # in-tile idx
 
                 # gather-as-matmul (header note): one-hot rows fetch the
-                # matched model row.
+                # matched model column.
                 oh_i = jax.lax.broadcasted_iota(
                     jnp.int32, (tile_m, tile_n), 1) == ll[:, None]
                 if precision == "bf16":
                     # packed hi/lo coords+normals; exact per lane: each
                     # output is 1.0*bf16 + zeros (~2^-16 on reconstruction)
                     qn_tile = jax.lax.dot_general(
+                        gat_ref[:, pl.ds(j * tile_n, tile_n)],
                         oh_i.astype(jnp.bfloat16),
-                        gat_ref[pl.ds(j * tile_n, tile_n), :],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=f32,
                         # explicit: the ambient jax_default_matmul_precision
                         # is HIGHEST (core/__init__), which Mosaic rejects
                         # for bf16 operands; one-hot rows make DEFAULT exact
                         precision=jax.lax.Precision.DEFAULT,
-                    )  # (TM, 16)
+                    )  # (16, TM)
                 else:
                     # exact f32 fetch against the f32 [coords|normals]
                     # operand (advisor r3): one HIGHEST pass; 1.0*f32 is
                     # exact through the hi/lo MXU decomposition. Re-spread
-                    # to the hi/lo lane layout gn_tile reconstructs from
-                    # (lo lanes zero -> q_hi + 0 = exact q).
+                    # to the hi/lo row layout gn_tile reconstructs from
+                    # (lo rows zero -> q_hi + 0 = exact q).
                     qt = jax.lax.dot_general(
+                        dstc_ref[:, pl.ds(j * tile_n, tile_n)],
                         oh_i.astype(f32),
-                        dstc_ref[pl.ds(j * tile_n, tile_n), :],
-                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=f32,
                         precision=jax.lax.Precision.HIGHEST,
-                    )  # (TM, 8): [q(3) | n(3) | 0 0]
-                    z = jnp.zeros((tile_m, 3), f32)
+                    )  # (8, TM): rows [q(3); n(3); 0; 0]
+                    z = jnp.zeros((3, tile_m), f32)
                     qn_tile = jnp.concatenate(
-                        [qt[:, 0:3], z, qt[:, 3:6], z,
-                         jnp.zeros((tile_m, _L16 - 12), f32)], axis=1)
+                        [qt[0:3], z, qt[3:6], z,
+                         jnp.zeros((_L16 - 12, tile_m), f32)], axis=0)
 
                 def init():
                     best_ref[0, pl.ds(i * tile_m, tile_m)] = lb
-                    qn_ref[pl.ds(i * tile_m, tile_m), :] = qn_tile
+                    qn_ref[:, pl.ds(i * tile_m, tile_m)] = qn_tile
 
                 def fold():
                     prev = best_ref[0, pl.ds(i * tile_m, tile_m)]
                     take = lb < prev
                     best_ref[0, pl.ds(i * tile_m, tile_m)] = jnp.where(
                         take, lb, prev)
-                    pq = qn_ref[pl.ds(i * tile_m, tile_m), :]
-                    qn_ref[pl.ds(i * tile_m, tile_m), :] = jnp.where(
-                        take[:, None], qn_tile, pq)
+                    pq = qn_ref[:, pl.ds(i * tile_m, tile_m)]
+                    qn_ref[:, pl.ds(i * tile_m, tile_m)] = jnp.where(
+                        take[None, :], qn_tile, pq)
 
                 jax.lax.cond(j == 0, init, fold)
                 return 0
@@ -395,55 +402,55 @@ def _icp_kernel(
         # ---- 4. gather correspondences + build weights, 5. GN -------------
         def gn_tile(i, _):
             sl = pl.ds(i * tile_m, tile_m)
-            qn = qn_ref[sl, :]  # (TM, 16) gathered [q_hi q_lo n_hi n_lo]
-            qx = qn[:, 0] + qn[:, 3]
-            qy = qn[:, 1] + qn[:, 4]
-            qz = qn[:, 2] + qn[:, 5]
-            nx = qn[:, 6] + qn[:, 9]
-            ny = qn[:, 7] + qn[:, 10]
-            nz = qn[:, 8] + qn[:, 11]
-            p = cur_ref[sl, :]
-            dx = p[:, 0] - qx
-            dy = p[:, 1] - qy
-            dz = p[:, 2] - qz
+            qn = qn_ref[:, sl]  # (16, TM) gathered rows [q_hi; q_lo; n_hi; n_lo]
+            qx = qn[0] + qn[3]
+            qy = qn[1] + qn[4]
+            qz = qn[2] + qn[5]
+            nx = qn[6] + qn[9]
+            ny = qn[7] + qn[10]
+            nz = qn[8] + qn[11]
+            p = cur_ref[:, sl]  # (8, TM)
+            dx = p[0] - qx
+            dy = p[1] - qy
+            dz = p[2] - qz
             d2 = dx * dx + dy * dy + dz * dz  # f32 difference form, (TM,)
             w = (d2 <= max_d2).astype(f32) * smask_ref[0, sl]
             # coverage gate: scan points beyond the model's coverage radius
             # must not latch onto its boundary (slam.scan_to_map). Measured
             # in the ORIGINAL sensor frame: ||cur + c||.
-            g0 = p[:, 0] + c0
-            g1 = p[:, 1] + c1
-            g2 = p[:, 2] + c2
+            g0 = p[0] + c0
+            g1 = p[1] + c1
+            g2 = p[2] + c2
             pn2 = g0 * g0 + g1 * g1 + g2 * g2
             w = w * (pn2 <= r_gate * r_gate).astype(f32)
             n_inl_t = w  # inlier indicator BEFORE Huber downweighting
             if huber > 0.0:
                 dist = jnp.sqrt(jnp.maximum(d2, 1e-20))
                 w = w * jnp.minimum(1.0, huber / dist)
-            px, py, pz = p[:, 0], p[:, 1], p[:, 2]
+            px, py, pz = p[0], p[1], p[2]
             cx = py * nz - pz * ny
             cy = pz * nx - px * nz
             cz = px * ny - py * nx
             r = dx * nx + dy * ny + dz * nz
             zero = jnp.zeros_like(px)
-            J = jnp.stack([nx, ny, nz, cx, cy, cz, zero, zero], axis=1)
-            Jw = J * w[:, None]
+            J = jnp.stack([nx, ny, nz, cx, cy, cz, zero, zero], axis=0)
+            Jw = J * w[None, :]  # (8, TM)
             h_tile = jax.lax.dot_general(
-                J, Jw, dimension_numbers=(((0,), (0,)), ((), ())),
+                J, Jw, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
-            )
-            # stats lanes: [g(6) | wsum, wd2] via ONE contraction: S columns
-            # = [J*w*r (6) | w, w*d2] summed over rows by a ones-vector dot
+            )  # (8, 8)
+            # stats lanes: [g(6) | wsum, wd2] via ONE contraction: S rows
+            # = [J*w*r (6); w; w*d2; ...] summed over points by a ones dot
             wr = w * r
             S = jnp.stack(
                 [nx * wr, ny * wr, nz * wr, cx * wr, cy * wr, cz * wr,
                  w, w * d2, n_inl_t, zero, zero, zero, zero, zero, zero,
                  zero],
-                axis=1,
-            )  # (TM, 16)
+                axis=0,
+            )  # (16, TM)
             ones = jnp.ones((1, tile_m), f32)
             s_tile = jax.lax.dot_general(
-                ones, S, dimension_numbers=(((1,), (0,)), ((), ())),
+                ones, S, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
             )  # (1, 16)
 
@@ -672,25 +679,26 @@ def icp_fused_pallas(
     dst_nrm = dst_nrm.astype(f32)
     T0 = jnp.eye(4, dtype=f32) if init_T is None else init_T.astype(f32)
 
-    tile_m_ = min(tile_m, _round_up(m, 8))
+    # both point axes now live on the LANE dimension (transposed layout):
+    # tiles should be 128-multiples where the sizes allow
+    tile_m_ = min(tile_m, _round_up(m, 128))
     tile_n_ = min(tile_n, _round_up(n, 128))
     mp = _round_up(m, tile_m_)
     np_ = _round_up(n, tile_n_)
-    # VMEM-aware tile shrink: everything is resident (operands + scratch)
-    # PLUS the per-fold temporaries (distance tile, one-hot, and Mosaic's
-    # intermediate copies). Constants CALIBRATED against a measured OOM:
-    # at 16,384×16,384 with 1024×1024 tiles the compiler reports a 20.11 MB
-    # scoped allocation vs the 16 MB limit (r4 fused smoke) — i.e. ~9.7 MB
-    # of per-row state (~590 B/row across src+dst) + ~10 B per tile
-    # element. Budget 14 MB leaves slack for layout padding. Shrink tile_n
-    # (then tile_m) until the estimate fits; callers can still pin tiles
-    # via nn_tile_m/n but the shrink is a floor against compile OOM.
+    # VMEM-aware tile shrink: everything is resident (operands + scratch,
+    # ~168 B/src col + ~100 B/model col in the transposed layout — the
+    # pre-transpose (N, 8) layouts padded 8 lanes to 128 and measured
+    # 20.11 MB resident at the flagship regime, a compile-time OOM) PLUS
+    # the per-fold temporaries (distance tile f32, one-hot, and Mosaic's
+    # intermediate copies, ~10 B per tile element). Budget 14 MB leaves
+    # slack; callers can still pin tiles via nn_tile_m/n but the shrink is
+    # a floor against compile OOM.
     def _vmem_est(tm, tn):
-        return mp * 430 + np_ * 160 + tm * tn * 10
+        return mp * 168 + np_ * 100 + tm * tn * 10
     while (tile_n_ > 256 and tile_n_ % 256 == 0
            and _vmem_est(tile_m_, tile_n_) > 14_000_000):
         tile_n_ = tile_n_ // 2
-    while (tile_m_ > 256 and tile_m_ % 16 == 0
+    while (tile_m_ > 256 and tile_m_ % 256 == 0
            and _vmem_est(tile_m_, tile_n_) > 14_000_000):
         tile_m_ = tile_m_ // 2
     mp = _round_up(m, tile_m_)
@@ -714,43 +722,46 @@ def icp_fused_pallas(
     rg = jnp.concatenate(
         [jnp.asarray(r_gate, f32).reshape(1), c.astype(f32)])
 
-    # pad + lane-expand
-    def pad8(x, rows, fill=0.0):
-        x = jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)),
+    # pad + row-expand: TRANSPOSED layout, points along lanes (see kernel
+    # docstring — the (N, 8) layouts cost 16x their data in VMEM)
+    def pad8T(x, cols, fill=0.0):
+        x = jnp.pad(x.T, ((0, _L8 - x.shape[1]), (0, cols - x.shape[0])),
                     constant_values=fill)
-        return jnp.pad(x, ((0, 0), (0, _L8 - x.shape[1])))
+        return x  # (8, cols)
 
-    src8 = pad8(srcc, mp)
-    # homogeneous lane = 1 for ALL rows (padded rows are masked by smask)
-    src8 = src8.at[:, 3].set(1.0)
+    src8 = pad8T(srcc, mp)
+    # zero the fill rows 3..7 then set homogeneous row = 1 for ALL cols
+    # (padded cols are masked by smask)
+    src8 = src8 * (jax.lax.broadcasted_iota(jnp.int32, (_L8, 1), 0) < 3)
+    src8 = src8.at[3, :].set(1.0)
     smask = jnp.pad(src_mask.astype(f32), (0, mp - m)).reshape(1, mp)
-    dst8 = pad8(dstc, np_, fill=1.0e6)
-    # lanes 3..7 must be zero (they enter the d^2 contraction): zero them
-    dst8 = dst8 * (jax.lax.broadcasted_iota(jnp.int32, (1, _L8), 1) < 3)
+    dst8 = pad8T(dstc, np_, fill=1.0e6)
+    # rows 3..7 must be zero (they enter the d^2 contraction): zero them
+    dst8 = dst8 * (jax.lax.broadcasted_iota(jnp.int32, (_L8, 1), 0) < 3)
     nrm_np = jnp.pad(jnp.where(vcol, dst_nrm, 0.0),
-                     ((0, np_ - n), (0, 0)))
+                     ((0, np_ - n), (0, 0))).T  # (3, Np)
 
     # gather operand (header note): Dekker hi/lo packed coords + normals,
-    # fetched by the in-fold one-hot matmul. 1e6-padded rows reconstruct to
+    # fetched by the in-fold one-hot matmul. 1e6-padded cols reconstruct to
     # ~1e6 -> d^2 >> max_corr_dist^2 -> gated, same as the old gather path.
-    d_hi, d_lo = _split_hi_lo(dst8[:, :3])
+    d_hi, d_lo = _split_hi_lo(dst8[:3])
     n_hi, n_lo = _split_hi_lo(nrm_np)
-    gat = jnp.concatenate([d_hi, d_lo, n_hi, n_lo], axis=1)
-    gat = jnp.pad(gat, ((0, 0), (0, _L16 - gat.shape[1])))
+    gat = jnp.concatenate([d_hi, d_lo, n_hi, n_lo], axis=0)
+    gat = jnp.pad(gat, ((0, _L16 - gat.shape[0]), (0, 0)))
 
-    # bf16 packed model lanes (mirrors nn_pallas)
-    b_hi, b_lo = _split_hi_lo(dst8[:, :3])
-    bsq32 = jnp.sum(dst8 * dst8, axis=1, keepdims=True)
+    # bf16 packed model rows (mirrors nn_pallas, transposed)
+    b_hi, b_lo = _split_hi_lo(dst8[:3])
+    bsq32 = jnp.sum(dst8 * dst8, axis=0, keepdims=True)  # (1, Np)
     bsq_hi, bsq_lo = _split_hi_lo(bsq32)
     oneb = jnp.ones_like(bsq_hi)
     baug = jnp.concatenate(
-        [b_hi, b_hi, b_lo, oneb, oneb, bsq_hi, bsq_lo], axis=1)
-    baug = jnp.pad(baug, ((0, 0), (0, _L16 - baug.shape[1])))
-    bsq = bsq32.reshape(1, np_)
-    # normals ride the f32 operand's lanes 3..5 for the highest-mode exact
-    # gather; safe because the source operand's lanes 3..7 are zeroed before
+        [b_hi, b_hi, b_lo, oneb, oneb, bsq_hi, bsq_lo], axis=0)
+    baug = jnp.pad(baug, ((0, _L16 - baug.shape[0]), (0, 0)))
+    bsq = bsq32
+    # normals ride the f32 operand's rows 3..5 for the highest-mode exact
+    # gather; safe because the source operand's rows 3..7 are zeroed before
     # the NN contraction (and bsq/baug above were built from coords only)
-    dst8 = dst8.at[:, 3:6].set(nrm_np)
+    dst8 = dst8.at[3:6, :].set(nrm_np)
 
     params = (
         tile_m_, tile_n_, mp, np_, max_iters, float(tol), float(tol_update),
@@ -782,10 +793,10 @@ def icp_fused_pallas(
         ],
         scratch_shapes=[
             pltpu.VMEM((_L8, _L8), f32),      # T
-            pltpu.VMEM((mp, _L8), f32),       # cur
-            pltpu.VMEM((mp, _L16), jnp.bfloat16),  # aaug
+            pltpu.VMEM((_L8, mp), f32),       # cur (transposed)
+            pltpu.VMEM((_L16, mp), jnp.bfloat16),  # aaug (transposed)
             pltpu.VMEM((1, mp), f32),         # best
-            pltpu.VMEM((mp, _L16), f32),      # qn (gathered corr)
+            pltpu.VMEM((_L16, mp), f32),      # qn (gathered corr, transposed)
             pltpu.VMEM((_L8, _L8), f32),      # H
             pltpu.VMEM((1, _L16), f32),       # g/stats
         ],
