@@ -693,13 +693,18 @@ def icp_fused_pallas(
     # intermediate copies, ~10 B per tile element). Budget 14 MB leaves
     # slack; callers can still pin tiles via nn_tile_m/n but the shrink is
     # a floor against compile OOM.
+    # Calibration history (flagship 16,384x16,384, compiler-reported scoped
+    # allocations): pre-transpose resident alone was 20.11M; transposed with
+    # 1024x512 tiles measured 17.67M => resident ~5.8M (the (1, Mp) rows
+    # pad 1->8 sublanes) and ~23 B per tile element (Mosaic carries several
+    # copies of the distance tile through min/argmin/one-hot). Budget 13M.
     def _vmem_est(tm, tn):
-        return mp * 168 + np_ * 100 + tm * tn * 10
+        return mp * 200 + np_ * 120 + tm * tn * 23
     while (tile_n_ > 256 and tile_n_ % 256 == 0
-           and _vmem_est(tile_m_, tile_n_) > 14_000_000):
+           and _vmem_est(tile_m_, tile_n_) > 13_000_000):
         tile_n_ = tile_n_ // 2
     while (tile_m_ > 256 and tile_m_ % 256 == 0
-           and _vmem_est(tile_m_, tile_n_) > 14_000_000):
+           and _vmem_est(tile_m_, tile_n_) > 13_000_000):
         tile_m_ = tile_m_ // 2
     mp = _round_up(m, tile_m_)
     np_ = _round_up(n, tile_n_)
