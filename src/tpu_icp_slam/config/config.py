@@ -146,6 +146,9 @@ class PipelineConfig:
     # KISS-ICP-style, while straight legs (coverage ~0.7) never trigger.
     frontier_cov_frac: float = 0.6  # in-coverage fraction threshold
     normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
+    normal_approx: bool = True  # k-NN via lax.approx_min_k (~0.99 recall on
+    # TPU, exact on CPU) vs exact top_k — an accelerator-only behavior
+    # difference; flip off when isolating TPU-vs-CPU accuracy gaps
     normal_ref_stride: int = 1  # >1: fit planes against every Nth point
     # (shrinks the keyframe normals distance matrix by the stride; see
     # mapping.normals.normals_knn)

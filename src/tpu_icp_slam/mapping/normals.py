@@ -101,6 +101,7 @@ def normals_knn(
     k: int = 16,
     viewpoint: jnp.ndarray | None = None,
     ref_stride: int = 1,
+    approx: bool = True,
 ) -> jnp.ndarray:
     """(N, 3) cloud -> (N, 3) unit normals by local plane fit.
 
@@ -114,7 +115,10 @@ def normals_knn(
     local plane (street-scene surfaces are locally flat at metre scale).
     """
     ref = points if ref_stride <= 1 else points[::ref_stride]
-    idx, _ = knn_bruteforce_xla(points, ref, k=k, approx=True)
+    # approx=True: lax.approx_min_k (~0.99 recall, exact on CPU, approximate
+    # on TPU — an accelerator-only behavior difference worth isolating when
+    # chasing TPU-vs-CPU accuracy gaps; see scripts/exp_lap_sweep.py)
+    idx, _ = knn_bruteforce_xla(points, ref, k=k, approx=approx)
     nbrs = ref[idx]  # (N, k, 3)
     mu = jnp.mean(nbrs, axis=1, keepdims=True)
     x = nbrs - mu

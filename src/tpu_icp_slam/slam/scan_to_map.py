@@ -94,6 +94,7 @@ def init_state(first_points, first_mask, cfg: SlamConfig) -> MapOdomState:
     nrm = normals_knn(
         first_points, first_mask, k=cfg.pipeline.normal_k,
         ref_stride=cfg.pipeline.normal_ref_stride,
+        approx=cfg.pipeline.normal_approx,
     )
     vm = voxel_map.insert(vm, first_points, first_mask, nrm, voxel=m.map_voxel)
     size = m.local_model_size
@@ -285,7 +286,8 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         world_pts = points @ pose[:3, :3].T + pose[:3, 3]
         world_pts = jnp.where(mask[:, None], world_pts, 1.0e6)
         nrm = normals_knn(
-            points, mask, k=p.normal_k, ref_stride=p.normal_ref_stride
+            points, mask, k=p.normal_k, ref_stride=p.normal_ref_stride,
+            approx=p.normal_approx,
         ) @ pose[:3, :3].T
         # spatial eviction around the current pose (see voxel_map.insert)
         ins = (
