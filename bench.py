@@ -91,8 +91,12 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             min_inliers=min_inl, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01,  # over-relaxed ICP: ~2.2x fewer
             # iterations at equal ATE (BASELINE.md)
-            nn_precision="bf16",  # r2 A/B winner: +53% fps at equal-order
-            # ATE (0.015 vs 0.008 m) — BASELINE.md precision A/B table
+            nn_precision="highest",  # r4 REVERSAL of the r2 bf16 default:
+            # at flagship scale the bf16 SELECTION jitter (non-conformant
+            # accumulation on this emulator) diverges the 200-frame lap
+            # (err 65 m vs 12.7 with highest, BASELINE.md r4 lap sweep) —
+            # the r2 A/B only ever tested 30 straight frames. bf16 remains
+            # an opt-in speed mode; on conformant hardware it is near-exact.
             prior_trans_weight=0.004, prior_rot_weight=0.04,
             max_total_trans=1.5, max_total_rot=0.5,
             # r4 corner robustness pair (BASELINE.md r4): motion prior +
@@ -113,6 +117,8 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             mode="scan_to_map", scan_capacity=capacity,
             keyframe_trans=kf_trans, keyframe_rot=kf_rot,
             normal_ref_stride=normal_ref_stride,
+            normal_approx=False,  # r4: approx_min_k normals (~0.95 recall
+            # on TPU) also diverge the lap — exact both, see lap sweep
         ),
     )
 

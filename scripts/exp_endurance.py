@@ -139,7 +139,10 @@ def main() -> int:
             max_corr_dist=1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=50 if SMALL else 100, huber_delta=0.3, tol=1e-5,
-            step_scale=1.4, tol_update=0.01, nn_precision="bf16",
+            step_scale=1.4, tol_update=0.01, nn_precision="highest",
+            # r4 lap sweep: bf16 NN selection AND approx_min_k normals
+            # each diverge the full-scale lap on this emulator - the
+            # accuracy config runs both exact (BASELINE.md r4)
             # motion prior at the measured-good strength (~= lambda 30
             # absolute at the flagship's Sum-w ~7k). Fractions >=0.01
             # COMPOUND a drag on straights through the velocity feedback -
@@ -163,6 +166,7 @@ def main() -> int:
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
             keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
+            normal_approx=False,
         ),
         backend=BackendConfig(
             enabled=True, min_loop_separation=25, gating_radius=20.0,
