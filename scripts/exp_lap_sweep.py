@@ -57,13 +57,15 @@ def main() -> int:
                       "mean_pts": int(np.mean([len(s) for s in scans]))}),
           flush=True)
 
-    def run(tag, corr, precision, trust=1.5, normal_approx=True):
+    def run(tag, corr, precision, trust=1.5, normal_approx=True,
+            nn_backend="auto"):
         cfg = SlamConfig(
             icp=ICPConfig(
                 method="point_to_plane", max_iters=18, max_corr_dist=corr,
                 damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
                 min_inliers=100, huber_delta=0.3, tol=1e-5,
                 step_scale=1.4, tol_update=0.01, nn_precision=precision,
+                nn_backend=nn_backend,
                 prior_trans_weight=0.004, prior_rot_weight=0.04,
                 max_total_trans=trust, max_total_rot=0.5,
             ),
@@ -111,6 +113,10 @@ def main() -> int:
                                normal_approx=False),  # + exact normals
         "corr1.0_bf16_exn": dict(corr=1.0, precision="bf16",
                                  normal_approx=False),  # isolate normals only
+        # chunked XLA NN = bitwise-exact selection (the CPU control's path):
+        # isolates Pallas-highest's residual factored-form selection jitter
+        "corr1.0_xla_exn": dict(corr=1.0, precision="highest",
+                                normal_approx=False, nn_backend="xla"),
     }
     for tag, kw in arms.items():
         if only and tag not in only.split(","):
