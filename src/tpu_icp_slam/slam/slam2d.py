@@ -141,8 +141,19 @@ class Slam2D:
             anchor_kf.append(len(kf_frames) - 1)
 
         # per-frame front-end strain -> odometry-factor down-weighting
-        # (see BackendConfig.odom_strain_penalty; mirrors Slam3D)
+        # (see BackendConfig.odom_strain_penalty; mirrors Slam3D). Restored
+        # from the checkpoint on resume — strain feeds factor weights, so a
+        # zeroed restart would make resume != uninterrupted (VERDICT r4).
         strain = [False] * start
+        if start > 1 and ck.get("strain") is not None:
+            strain = list(ck["strain"])[:start]
+        elif start > 1:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "pre-r5 checkpoint has no strain record; odometry-factor "
+                "weights for frames < %d resume as unstrained", start,
+            )
         if mode == "fused":
             if lifted:
                 st = pipe3.init_state(pts3[0], msk[0])
@@ -171,7 +182,8 @@ class Slam2D:
                     "scan_to_map" if lifted else "odom",
                     state, next_frame, poses_l, kf_frames, kf_poses2,
                     anchor_kf, self.detector._descs,
-                    self.detector._positions, closures, n_cands, cfg=cfg,
+                    self.detector._positions, closures, n_cands,
+                    strain=strain, cfg=cfg,
                 )
 
             for f in range(start, len(pts)):
