@@ -368,6 +368,13 @@ def main() -> int:
             )
             report["baseline_fps"] = round(cpu_fps, 3)
     report["platform"] = jax.default_backend()
+    # measurement hygiene (VERDICT r4 item 8): every recorded row carries
+    # the git SHA + dirty flag. allow_dirty here (the driver may capture on
+    # an auto-committed tree) but the flag is loud in the record; the exp_*
+    # harnesses use the strict mode that refuses dirty trees.
+    from tpu_icp_slam.obs.bench import measurement_stamp
+
+    report.update(measurement_stamp(allow_dirty=True))
     # surface a skipped real-TPU suite check to the driver (the smoke test
     # writes this marker when the tunnel is congested; a healthy run clears
     # it) — green-with-silent-skip was VERDICT r1's top verification gap

@@ -19,6 +19,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import numpy as np
 
+import json as _json_stamp
+from tpu_icp_slam.obs.bench import measurement_stamp as _mstamp
+print(_json_stamp.dumps(_mstamp()), flush=True)
+
 from tpu_icp_slam.obs.compile_cache import enable
 
 enable()

@@ -88,6 +88,8 @@ def main() -> int:
 
     waypoints, laps, lap_len = _route(FRAMES)
     m_per_frame = laps * lap_len / FRAMES
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({
         "platform": jax.default_backend(), "frames": FRAMES,
         "laps": laps, "lap_len_m": round(lap_len, 1),

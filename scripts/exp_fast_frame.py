@@ -112,6 +112,8 @@ def run_variant(name, cfg, scans, gt):
 
 if __name__ == "__main__":
     scans, gt = _scans()
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({"platform": jax.default_backend(), "frames": FRAMES}),
           flush=True)
     variants = {

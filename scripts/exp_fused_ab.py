@@ -40,6 +40,8 @@ def _icpcfg(cfg, **kw):
 
 if __name__ == "__main__":
     scans, gt = _scans()
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({"platform": jax.default_backend(),
                       "frames": len(scans)}), flush=True)
     base = _base()

@@ -107,6 +107,10 @@ def main() -> int:
             "err_max": round(float(err.max()), 2),
         }
 
+    from tpu_icp_slam.obs.bench import measurement_stamp
+
+    print(json.dumps(measurement_stamp()), flush=True)
+
     report = {"platform": jax.default_backend(), "frames": FRAMES,
               "scale": "small" if SMALL else "full"}
 

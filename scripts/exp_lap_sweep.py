@@ -53,6 +53,8 @@ def main() -> int:
     scans = [voxel_downsample_np(s, 0.15) for s in scans]
     pts, msk = pad_scans(scans, 16384)
     gt_rel = np.einsum("ij,fjk->fik", np.linalg.inv(gt[0]), gt)
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({"platform": jax.default_backend(), "frames": FRAMES,
                       "mean_pts": int(np.mean([len(s) for s in scans]))}),
           flush=True)

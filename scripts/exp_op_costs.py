@@ -22,6 +22,10 @@ from tpu_icp_slam.obs.compile_cache import enable
 enable()
 
 import jax
+
+import json as _json_stamp
+from tpu_icp_slam.obs.bench import measurement_stamp as _mstamp
+print(_json_stamp.dumps(_mstamp()), flush=True)
 import jax.numpy as jnp
 
 from tpu_icp_slam.obs import realize

@@ -21,6 +21,10 @@ enable()
 
 import jax.numpy as jnp  # noqa: F401
 
+import json as _json_stamp
+from tpu_icp_slam.obs.bench import measurement_stamp as _mstamp
+print(_json_stamp.dumps(_mstamp()), flush=True)
+
 from tpu_icp_slam.config import SlamConfig, ICPConfig, MappingConfig, PipelineConfig
 from tpu_icp_slam.core.pointcloud import voxel_downsample_np
 from tpu_icp_slam.datasets import synthetic

@@ -86,6 +86,8 @@ def run_variant(name, width, height, stride):
 
 
 if __name__ == "__main__":
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({"platform": jax.default_backend(), "frames": FRAMES}),
           flush=True)
     run_variant("fullres_stride1", 640, 480, 1)

@@ -200,6 +200,8 @@ def pipeline_ablation():
 
 
 if __name__ == "__main__":
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({"platform": jax.default_backend(),
                       "frames": FRAMES}), flush=True)
     scan_floor()

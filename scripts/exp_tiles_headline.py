@@ -82,6 +82,8 @@ if __name__ == "__main__":
     rng = np.random.default_rng(0)
     src = jnp.asarray(rng.uniform(-40, 40, (M, 3)), jnp.float32)
     dst = jnp.asarray(rng.uniform(-40, 40, (N, 3)), jnp.float32)
+    from tpu_icp_slam.obs.bench import measurement_stamp
+    print(json.dumps(measurement_stamp()), flush=True)
     print(json.dumps({"platform": jax.default_backend(), "M": M, "N": N,
                       "iters": ITERS}), flush=True)
     tiles = [

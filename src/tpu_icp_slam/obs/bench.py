@@ -17,9 +17,47 @@ recorded.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
+
+
+def measurement_stamp(allow_dirty: bool | None = None) -> dict:
+    """Git SHA + dirty flag for every recorded perf/accuracy row.
+
+    The r3 lap record was invalidated because it was taken with uncommitted
+    local state (BASELINE.md "measurement rules" say record the SHA, but
+    nothing enforced it — VERDICT r4 weak 4). This is the rule as code:
+    every exp_* harness and bench.py merges this dict into each JSON row.
+    A dirty tree raises unless ALLOW_DIRTY_BENCH=1 (or allow_dirty=True),
+    in which case the row is loudly marked {"git_dirty": true} so it can
+    never masquerade as a reproducible record.
+    """
+    import subprocess
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))))
+    try:
+        sha = subprocess.run(
+            ["git", "-C", root, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = bool(subprocess.run(
+            ["git", "-C", root, "status", "--porcelain"],
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:
+        return {"git_sha": "unknown", "git_dirty": None}
+    if allow_dirty is None:
+        allow_dirty = os.environ.get("ALLOW_DIRTY_BENCH") == "1"
+    if dirty and not allow_dirty:
+        raise RuntimeError(
+            "refusing to record a measurement from a dirty tree (the r3 "
+            "phantom-lap lesson): commit first, or set ALLOW_DIRTY_BENCH=1 "
+            "to record a row loudly marked git_dirty=true"
+        )
+    return {"git_sha": sha or "unknown", "git_dirty": dirty}
 
 
 def _steady(fn, repeats: int = 3) -> float:
