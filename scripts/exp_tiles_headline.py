@@ -92,6 +92,14 @@ if __name__ == "__main__":
         (2048, 4096), (2048, 8192),
         (4096, 8192),
     ]
-    for prec in ("bf16", "highest"):
-        for tm, tn in tiles:
+    # rescore holds ~3 (TM×TN) arrays in VMEM (e + iota + masked copy) so
+    # its tile frontier sits lower; more tiles also = more candidates
+    rescore_tiles = [
+        (256, 1024), (256, 2048), (256, 4096),
+        (512, 1024), (512, 2048), (512, 4096),
+        (1024, 2048),
+    ]
+    only = os.environ.get("TILES_PRECISIONS", "bf16,highest,rescore")
+    for prec in only.split(","):
+        for tm, tn in (rescore_tiles if prec == "rescore" else tiles):
             sweep_one(prec, tm, tn, src, dst)

@@ -87,8 +87,11 @@ class ICPConfig:
     # per-iteration backend control floor. Supported subset: 3D
     # point_to_plane, no anderson, no normal gate; scan_to_map wires it in.
     nn_backend: str = "auto"  # auto | pallas | xla | voxel
-    nn_precision: str = "highest"  # highest | bf16 (pallas NN contraction;
-    # bf16 = recentered single-pass — selection-only jitter, see nn_pallas.py)
+    nn_precision: str = "highest"  # highest | bf16 | rescore (pallas NN
+    # contraction). bf16 = recentered single-pass — selection-only jitter
+    # (diverges the flagship lap on this emulator, BASELINE.md r4 sweep);
+    # rescore = bf16 shortlist prefilter + exact f32 rescore — exact
+    # selection at ~1 MXU pass, the flagship default (see nn_pallas.py)
     gn_backend: str = "auto"  # auto | pallas | xla (fused GN accumulation)
     nn_chunk: int = 2048  # src rows per chunk in the XLA fallback
     nn_tile_m: int = 0  # Pallas NN source-tile rows (0 = kernel default)
@@ -146,9 +149,17 @@ class PipelineConfig:
     # KISS-ICP-style, while straight legs (coverage ~0.7) never trigger.
     frontier_cov_frac: float = 0.6  # in-coverage fraction threshold
     normal_k: int = 8  # k-NN plane-fit neighborhood for map normals
-    normal_approx: bool = True  # k-NN via lax.approx_min_k (~0.99 recall on
+    normal_approx: bool = True  # k-NN via lax.approx_min_k (approximate on
     # TPU, exact on CPU) vs exact top_k — an accelerator-only behavior
-    # difference; flip off when isolating TPU-vs-CPU accuracy gaps
+    # difference; flip off when isolating TPU-vs-CPU accuracy gaps. At
+    # plain k the TPU recall is low enough to diverge the flagship lap
+    # (BASELINE.md r4 lap sweep) — pair with normal_oversample.
+    normal_oversample: int = 0  # >1 with normal_approx: fetch
+    # k × oversample approximate candidates, then select the exact top-k
+    # among them (values are exact f32; only the SELECTION is approximate,
+    # so an oversampled shortlist + exact rescore drives the effective
+    # recall toward 1 at a fraction of exact top_k's cost — the same
+    # prefilter+rescore design as nn_precision="rescore"). Flagship: 4.
     normal_ref_stride: int = 1  # >1: fit planes against every Nth point
     # (shrinks the keyframe normals distance matrix by the stride; see
     # mapping.normals.normals_knn)

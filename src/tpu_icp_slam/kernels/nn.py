@@ -36,7 +36,9 @@ def nearest_neighbor(
 
     precision (pallas backend only): "highest" = f32 multi-pass MXU
     contraction; "bf16" = recentered single-pass (see nn_pallas.py header
-    for why that's safe for correspondence *selection*).
+    for why that's safe for correspondence *selection*); "rescore" =
+    exact selection at near-bf16 cost (bf16 shortlist prefilter + f32
+    difference-form rescore, nn_pallas.py header).
     """
     if backend == "auto":
         backend = "pallas" if _on_tpu() else "xla"
@@ -50,7 +52,9 @@ def nearest_neighbor(
             kw["tile_n"] = tile_n
         return nn_bruteforce_pallas(src, dst, **kw)
     if backend == "xla":
-        if precision != "highest":
+        # "rescore" needs no warning here: the f32 fallback IS exact
+        # selection, which is exactly what rescore promises.
+        if precision not in ("highest", "rescore"):
             # bf16 mode exists only in the Pallas kernel; running the f32
             # fallback silently would make cross-backend A/B comparisons
             # vacuous (ADVICE r2) — warn once, loudly.

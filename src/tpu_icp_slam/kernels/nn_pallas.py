@@ -19,8 +19,22 @@ vector added on the VPU (kept OUT of the matmul so its magnitude never
 rides a low-precision contraction). True squared distances are recovered at
 the end by adding ‖a_i‖² once per source point (then clamped ≥ 0).
 
-Precision modes (the r2 A/B, VERDICT r1 item 3):
+Precision modes (the r2 A/B, VERDICT r1 item 3; "rescore" added r5):
 - "highest": f32 multi-pass contraction. Bit-conservative; ~6 MXU passes.
+- "rescore": EXACT-selection at near-bf16 cost (VERDICT r4 item 1). One
+  bf16 MXU pass (same packed contraction as "bf16") acts as a PREFILTER:
+  instead of folding tiles into a single running argmin, the kernel emits a
+  per-(row, target-tile) top-2 shortlist — (2 × N/TN) candidates per source
+  point — and the true nearest neighbor is then selected OUTSIDE the kernel
+  by an exact f32 difference-form rescore of the shortlist only (a gather of
+  C≈64–128 candidate points per row plus elementwise work; ~free next to
+  the M×N contraction). Near-tie selection jitter — the mechanism that
+  diverged the 200-frame lap under plain bf16 (BASELINE.md r4 lap sweep) —
+  is resolved in f32: the pick can only miss the true NN if the true NN
+  ranks ≥3rd IN ITS OWN TILE under bf16 scoring, and even then the picked
+  point's true distance exceeds the optimum by at most the bf16 score
+  error. Returned d² is exact (difference form), unlike the other modes'
+  factored form. Costs 1 MXU pass + ε vs HIGHEST's 6.
 - "bf16": ONE bf16 MXU pass with TWO tricks stacked:
   1. recentering — subtract the valid-target bounding-box midpoint (f32) so
      bf16 sees scene-extent magnitudes, not world offsets;
@@ -108,6 +122,48 @@ def _nn_kernel(precision, src_ref, dst_ref, bsq_ref, dist_ref, idx_ref):
         idx_ref[0, :] = jnp.where(take_new, local_arg, idx_ref[0, :])
 
 
+def _nn_kernel_shortlist(
+    precision, src_ref, dst_ref, bsq_ref, d1_ref, i1_ref, d2_ref, i2_ref
+):
+    """Per-(row, target-tile) top-2 shortlist variant (rescore mode).
+
+    No cross-tile folding: the output block spans ALL target tiles
+    ((N/TN, TM), revisited while j varies — Mosaic requires block dims
+    divisible by (8, 128) or equal to the array, so a (1, TM) per-tile
+    block is not lowerable; instead each j-step dynamically writes ITS row
+    of the resident block) — the caller gets the full (N/TN, M) candidate
+    table to rescore in f32. Top-2 per tile (not top-1) because the voxel
+    map is stored lexsorted by voxel key — spatially adjacent points
+    (exactly the bf16-confusable near-ties) are CONTIGUOUS in index and
+    therefore land in the SAME tile; a top-1 shortlist would hand the
+    within-tile near-tie decision back to bf16, which is the failure mode
+    this mode exists to remove."""
+    j = pl.program_id(1)
+    tn = dst_ref.shape[0]
+    a = src_ref[:]
+    b = dst_ref[:]
+    e = jax.lax.dot_general(
+        a,
+        b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=precision,
+    )  # (TM, TN)
+    e = e + bsq_ref[:]
+    best = jnp.min(e, axis=1)  # (TM,)
+    arg = jnp.argmin(e, axis=1).astype(jnp.int32)
+    # second-best: mask the winning COLUMN (not the winning value — ties
+    # must stay eligible as the second candidate) and reduce again
+    cols = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    e2 = jnp.where(cols == arg[:, None], jnp.float32(jnp.inf), e)
+    best2 = jnp.min(e2, axis=1)
+    arg2 = jnp.argmin(e2, axis=1).astype(jnp.int32)
+    d1_ref[j, :] = best
+    i1_ref[j, :] = arg + j * tn
+    d2_ref[j, :] = best2
+    i2_ref[j, :] = arg2 + j * tn
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -118,26 +174,31 @@ def _round_up(x: int, m: int) -> int:
 def nn_bruteforce_pallas(
     src: jnp.ndarray,
     dst: jnp.ndarray,
-    tile_m: int = 512,
-    tile_n: int = 8192,
+    tile_m: int = 0,
+    tile_n: int = 0,
     interpret: bool | None = None,
-    precision: str = "highest",  # highest | bf16 (recentered single-pass)
+    precision: str = "highest",  # highest | bf16 | rescore (see header)
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(M, D), (N, D) f32 -> (idx (M,) int32, dist_sq (M,) f32).
 
     Shapes need not be tile-aligned; inputs are padded here (sentinel 1e6 for
     targets so padding never wins, zeros for sources whose outputs are sliced
     off). dist_sq comes from the factored form: recompute in difference form
-    where f32 cancellation matters (icp.loop does).
+    where f32 cancellation matters (icp.loop does) — EXCEPT rescore mode,
+    whose dist_sq is already exact difference-form.
 
-    Tile defaults (512×8192) come from the r4 honest sweep at the headline
-    16,384×131,072 regime (`scripts/exp_tiles_headline.py`, obs.realize
-    fence, 2026-08-19): bf16 1.829 ms/call vs 1.953 at the old r2-era
-    1024×8192 — table in BASELINE.md "NN tile sweep". Single-regime sweep;
-    pin tile_m/tile_n at call sites for very different shapes. (The r1
-    sweep numbers previously cited here were enqueue rates and were
-    formally invalidated; 4096×8192 VMEM-OOMs at the 16 MB scoped limit,
-    which still bounds tile_m·tile_n.)
+    Tile defaults (0 = auto): 512×8192 for highest/bf16, from the r4 honest
+    sweep at the headline 16,384×131,072 regime (`scripts/exp_tiles_headline
+    .py`, obs.realize fence, 2026-08-19: bf16 1.829 ms/call vs 1.953 at the
+    old r2-era 1024×8192 — table in BASELINE.md "NN tile sweep"). Rescore
+    mode defaults to 256×2048: its kernel holds ~3 (TM×TN) f32/i32 arrays in
+    VMEM at once (e, the column iota, and the masked copy) vs the fold
+    kernel's 1, so the tile must shrink to stay under the ~16 MB scoped
+    VMEM limit; smaller TN also means more tiles = more shortlist
+    candidates. Single-regime sweeps; pin tile_m/tile_n at call sites for
+    very different shapes. (The r1 sweep numbers previously cited here were
+    enqueue rates and were formally invalidated; 4096×8192 VMEM-OOMs at the
+    16 MB scoped limit, which still bounds tile_m·tile_n.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -145,12 +206,16 @@ def nn_bruteforce_pallas(
     n, _ = dst.shape
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
+    if not tile_m:
+        tile_m = 256 if precision == "rescore" else 512
+    if not tile_n:
+        tile_n = 2048 if precision == "rescore" else 8192
     tile_m = min(tile_m, _round_up(m, 8))
     tile_n = min(tile_n, _round_up(n, 128))
     mp = _round_up(m, tile_m)
     np_ = _round_up(n, tile_n)
 
-    if precision == "bf16":
+    if precision in ("bf16", "rescore"):
         # Recenter on the valid-target bounding-box midpoint (f32) so bf16
         # sees scene-extent magnitudes, not world/sensor-range offsets. The
         # argmin is invariant to a common shift; padded slots (sentinel
@@ -170,7 +235,7 @@ def nn_bruteforce_pallas(
     dst_p = jnp.pad(dst, ((0, np_ - n), (0, 0)), constant_values=1.0e6)
     b_sq = jnp.sum(dst_p * dst_p, axis=1)[None, :]  # (1, Np) f32, stays f32
 
-    if precision == "bf16":
+    if precision in ("bf16", "rescore"):
         # hi/lo split (Dekker): x = hi + lo with hi = bf16(x). The ×(−2)
         # scale is exact in bf16 (exponent bump), so apply it post-split.
         a_hi = src_p.astype(jnp.bfloat16)
@@ -215,6 +280,50 @@ def nn_bruteforce_pallas(
         mxu_precision = jax.lax.Precision.HIGHEST
         passes = 6
     grid = (mp // tile_m, np_ // tile_n)
+    if precision == "rescore":
+        ntj = np_ // tile_n
+        shortlist_specs = [
+            pl.BlockSpec((ntj, tile_m), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(4)
+        ]
+        d1, i1, d2t, i2 = pl.pallas_call(
+            functools.partial(_nn_kernel_shortlist, mxu_precision),
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((tile_m, lanes), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_n, lanes), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=shortlist_specs,
+            out_shape=[
+                jax.ShapeDtypeStruct((ntj, mp), jnp.float32),
+                jax.ShapeDtypeStruct((ntj, mp), jnp.int32),
+                jax.ShapeDtypeStruct((ntj, mp), jnp.float32),
+                jax.ShapeDtypeStruct((ntj, mp), jnp.int32),
+            ],
+            cost_estimate=pl.CostEstimate(
+                flops=2 * mp * np_ * lanes * passes,
+                bytes_accessed=(mp + np_) * lanes * a_aug.dtype.itemsize
+                + np_ * 4 + 4 * ntj * mp * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(a_aug, b_aug, b_sq)
+        # exact f32 rescore of the shortlist (difference form — shift-
+        # invariant, so the recentered coords are as exact as the originals;
+        # sentinel-padded target rows carry ~1e6 coords and lose naturally)
+        cand = jnp.concatenate([i1, i2], axis=0).T[:m]  # (m, 2·ntj)
+        cp = dst_p[cand]  # (m, C, D)
+        diff = src[:, None, :] - cp
+        d2c = jnp.sum(diff * diff, axis=-1)  # (m, C) exact f32
+        best = jnp.argmin(d2c, axis=1)
+        idx = jnp.take_along_axis(cand, best[:, None], axis=1)[:, 0]
+        d2 = jnp.take_along_axis(d2c, best[:, None], axis=1)[:, 0]
+        return idx.astype(jnp.int32), d2
     e_min, idx = pl.pallas_call(
         functools.partial(_nn_kernel, mxu_precision),
         grid=grid,

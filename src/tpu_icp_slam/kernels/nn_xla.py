@@ -61,24 +61,35 @@ def knn_bruteforce_xla(
     chunk: int = 1024,
     precision=lax.Precision.HIGHEST,
     approx: bool = False,
+    oversample: int = 0,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest dst indices per src point: (M, k) idx, (M, k) dist_sq.
 
     Used by normal estimation on unorganized clouds (SURVEY.md §2b N8).
     approx=True uses `lax.approx_min_k` (the TPU-optimized partial-reduce
-    top-k; ~0.95 recall) — a plane fit over 8 of the ~8.4 true nearest
-    neighbors is statistically the same plane, and exact `lax.top_k` is the
-    dominant cost of the keyframe normals path (r2 op-cost profile).
+    top-k) — exact `lax.top_k` is the dominant cost of the keyframe normals
+    path (r2 op-cost profile), but plain approx selection at k diverged the
+    flagship lap (BASELINE.md r4 sweep). oversample > 1 (with approx) is
+    the middle path: fetch k × oversample approximate candidates, then take
+    the exact top-k among them — the candidate VALUES are exact f32, so the
+    rescore costs a tiny (M, k·oversample) top_k and the effective recall
+    of the true top-k approaches 1 (prefilter + rescore, same design as
+    nn_pallas rescore mode).
     """
     m = src.shape[0]
+    n = dst.shape[0]
     dst_sq = jnp.sum(dst * dst, axis=-1)
+    kk = min(k * oversample, n) if (approx and oversample > 1) else k
 
     def one_chunk(a):
         a_sq = jnp.sum(a * a, axis=-1)
         g = jnp.dot(a, dst.T, precision=precision)
         d = a_sq[:, None] + dst_sq[None, :] - 2.0 * g
         if approx:
-            neg_d, idx = lax.approx_max_k(-d, k)
+            neg_d, idx = lax.approx_max_k(-d, kk)
+            if kk > k:
+                neg_d, sel = lax.top_k(neg_d, k)  # exact among candidates
+                idx = jnp.take_along_axis(idx, sel, axis=1)
         else:
             neg_d, idx = lax.top_k(-d, k)
         return idx.astype(jnp.int32), jnp.maximum(-neg_d, 0.0)

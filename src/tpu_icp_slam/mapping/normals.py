@@ -102,6 +102,7 @@ def normals_knn(
     viewpoint: jnp.ndarray | None = None,
     ref_stride: int = 1,
     approx: bool = True,
+    oversample: int = 0,
 ) -> jnp.ndarray:
     """(N, 3) cloud -> (N, 3) unit normals by local plane fit.
 
@@ -115,10 +116,15 @@ def normals_knn(
     local plane (street-scene surfaces are locally flat at metre scale).
     """
     ref = points if ref_stride <= 1 else points[::ref_stride]
-    # approx=True: lax.approx_min_k (~0.99 recall, exact on CPU, approximate
-    # on TPU — an accelerator-only behavior difference worth isolating when
-    # chasing TPU-vs-CPU accuracy gaps; see scripts/exp_lap_sweep.py)
-    idx, _ = knn_bruteforce_xla(points, ref, k=k, approx=approx)
+    # approx=True: lax.approx_min_k (exact on CPU, approximate on TPU — an
+    # accelerator-only behavior difference worth isolating when chasing
+    # TPU-vs-CPU accuracy gaps; see scripts/exp_lap_sweep.py). With
+    # oversample > 1 the approximate pass only PREFILTERS k·oversample
+    # candidates and the exact top-k is chosen among them (recall → 1 at a
+    # fraction of exact top_k's cost; see knn_bruteforce_xla).
+    idx, _ = knn_bruteforce_xla(
+        points, ref, k=k, approx=approx, oversample=oversample
+    )
     nbrs = ref[idx]  # (N, k, 3)
     mu = jnp.mean(nbrs, axis=1, keepdims=True)
     x = nbrs - mu

@@ -95,6 +95,7 @@ def init_state(first_points, first_mask, cfg: SlamConfig) -> MapOdomState:
         first_points, first_mask, k=cfg.pipeline.normal_k,
         ref_stride=cfg.pipeline.normal_ref_stride,
         approx=cfg.pipeline.normal_approx,
+        oversample=cfg.pipeline.normal_oversample,
     )
     vm = voxel_map.insert(vm, first_points, first_mask, nrm, voxel=m.map_voxel)
     size = m.local_model_size
@@ -208,6 +209,8 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
             damping=ic.damping, step_scale=ic.step_scale,
             max_step_trans=ic.max_step_trans, max_step_rot=ic.max_step_rot,
             min_inliers=ic.min_inliers,
+            # the fused kernel has no shortlist/rescore path (in-kernel
+            # running argmin only): "rescore" maps to exact "highest" there
             precision=("bf16" if ic.nn_precision == "bf16" else "highest"),
             tile_m=ic.nn_tile_m or 1024, tile_n=ic.nn_tile_n or 2048,
             prior_trans_weight=ic.prior_trans_weight,
@@ -287,7 +290,7 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         world_pts = jnp.where(mask[:, None], world_pts, 1.0e6)
         nrm = normals_knn(
             points, mask, k=p.normal_k, ref_stride=p.normal_ref_stride,
-            approx=p.normal_approx,
+            approx=p.normal_approx, oversample=p.normal_oversample,
         ) @ pose[:3, :3].T
         # spatial eviction around the current pose (see voxel_map.insert)
         ins = (

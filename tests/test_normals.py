@@ -67,6 +67,40 @@ def test_normals_knn_on_plane():
     assert (n[:, 2] < 0).all()
 
 
+def test_knn_oversample_rescore_matches_exact():
+    """Oversampled-approx kNN (prefilter + exact top-k rescore) must return
+    the exact k nearest — the r5 middle path between exact top_k (13 ms on
+    keyframes) and plain approx_min_k (diverged the lap, BASELINE.md r4)."""
+    from tpu_icp_slam.kernels.nn_xla import knn_bruteforce_xla
+
+    rng = np.random.default_rng(4)
+    src = rng.uniform(-5, 5, (300, 3)).astype(np.float32)
+    dst = rng.uniform(-5, 5, (900, 3)).astype(np.float32)
+    ei, ed = knn_bruteforce_xla(
+        jnp.asarray(src), jnp.asarray(dst), k=8, approx=False
+    )
+    oi, od = knn_bruteforce_xla(
+        jnp.asarray(src), jnp.asarray(dst), k=8, approx=True, oversample=4
+    )
+    # compare neighbor SETS by distance (ties can reorder indices)
+    np.testing.assert_allclose(
+        np.sort(np.asarray(od), 1), np.sort(np.asarray(ed), 1),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_normals_knn_oversample_same_plane():
+    rng = np.random.default_rng(5)
+    pts = np.zeros((400, 3), np.float32)
+    pts[:, :2] = rng.uniform(-4, 4, (400, 2))
+    pts[:, 2] = 5.0 + 0.001 * rng.standard_normal(400)
+    n = np.asarray(normals_knn(
+        jnp.asarray(pts), jnp.ones(400, bool), k=8, approx=True, oversample=4
+    ))
+    assert (np.abs(n[:, 2]) > 0.99).all()
+    assert (n[:, 2] < 0).all()
+
+
 def test_normals_knn_ref_stride_same_plane():
     """Strided-reference plane fit (the cheap keyframe-normals path) must
     recover the same plane on locally flat geometry."""
