@@ -117,8 +117,9 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             mode="scan_to_map", scan_capacity=capacity,
             keyframe_trans=kf_trans, keyframe_rot=kf_rot,
             normal_ref_stride=normal_ref_stride,
-            normal_approx=False,  # r4: approx_min_k normals (~0.95 recall
-            # on TPU) also diverge the lap — exact both, see lap sweep
+            normal_approx=False,  # r4: approx_min_k normals (recall_target
+            # 0.95, the XLA default; approximate on TPU only) also diverge
+            # the lap — exact both, see the BASELINE.md r4 lap-sweep table
         ),
     )
 

@@ -213,7 +213,7 @@ def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
     r_cover have no genuine counterpart in the model and must not be matched
     against its boundary (scan_to_map gates on this).
 
-    approx=True selects via `lax.approx_min_k` (~0.95 recall): the local
+    approx=True selects via `lax.approx_min_k` (recall_target 0.95): the local
     model drops ~5% of its true nearest points, which thins its density
     imperceptibly (the map is voxel-dense at `map_voxel` spacing) while
     skipping the exact top_k's full sort network — the per-frame extract
