@@ -91,12 +91,14 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             min_inliers=min_inl, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01,  # over-relaxed ICP: ~2.2x fewer
             # iterations at equal ATE (BASELINE.md)
-            nn_precision="highest",  # r4 REVERSAL of the r2 bf16 default:
-            # at flagship scale the bf16 SELECTION jitter (non-conformant
-            # accumulation on this emulator) diverges the 200-frame lap
-            # (err 65 m vs 12.7 with highest, BASELINE.md r4 lap sweep) —
-            # the r2 A/B only ever tested 30 straight frames. bf16 remains
-            # an opt-in speed mode; on conformant hardware it is near-exact.
+            nn_precision=os.environ.get("BENCH_NN", "highest"),
+            # r4 REVERSAL of the r2 bf16 default: at flagship scale the
+            # bf16 SELECTION jitter (non-conformant accumulation on this
+            # emulator) diverges the 200-frame lap (err 65 m vs 12.7 with
+            # highest, BASELINE.md r4 lap sweep) — the r2 A/B only ever
+            # tested 30 straight frames. bf16 remains an opt-in speed mode;
+            # on conformant hardware it is near-exact. BENCH_NN=rescore
+            # measures the r5 exact-selection shortlist kernel pre-flip.
             prior_trans_weight=0.004, prior_rot_weight=0.04,
             max_total_trans=1.5, max_total_rot=0.5,
             # r4 corner robustness pair (BASELINE.md r4): motion prior +
@@ -117,9 +119,12 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             mode="scan_to_map", scan_capacity=capacity,
             keyframe_trans=kf_trans, keyframe_rot=kf_rot,
             normal_ref_stride=normal_ref_stride,
-            normal_approx=False,  # r4: approx_min_k normals (recall_target
-            # 0.95, the XLA default; approximate on TPU only) also diverge
-            # the lap — exact both, see the BASELINE.md r4 lap-sweep table
+            # r4: approx_min_k normals (recall_target 0.95, the XLA
+            # default; approximate on TPU only) also diverge the lap —
+            # exact both, see the BASELINE.md r4 lap-sweep table.
+            # BENCH_NOVS>1 measures the r5 oversample+rescore path pre-flip.
+            normal_approx=int(os.environ.get("BENCH_NOVS", "0")) > 1,
+            normal_oversample=int(os.environ.get("BENCH_NOVS", "0")),
         ),
     )
 
@@ -218,7 +223,11 @@ def _nn_flops_per_frame(cfg, mean_iters: float) -> tuple[float, float]:
     Other work (GN accumulation, map ops) is ignored in both — conservative."""
     m = cfg.pipeline.scan_capacity
     n = cfg.mapping.local_model_size
-    lanes, passes = (16, 1) if cfg.icp.nn_precision == "bf16" else (8, 6)
+    # rescore = one bf16-packed pass + an out-of-kernel f32 rescore of a
+    # tiny shortlist (not MXU work) — same contraction cost class as bf16
+    lanes, passes = (
+        (16, 1) if cfg.icp.nn_precision in ("bf16", "rescore") else (8, 6)
+    )
     kernel = 2.0 * m * n * lanes * passes * mean_iters
     useful = 2.0 * m * n * 3 * mean_iters
     return kernel, useful

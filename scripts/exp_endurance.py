@@ -45,6 +45,13 @@ SEED = int(os.environ.get("ENDURANCE_SEED", "0"))
 # CPU mechanics validation — same route, same pipeline, ~20x faster. The
 # headline flagship scale stays the default (TPU).
 SMALL = os.environ.get("ENDURANCE_SCALE", "") == "small"
+# r5 levers (A/B-able from the env; see BackendConfig for rationale):
+NN_PRECISION = os.environ.get("ENDURANCE_NN", "highest")
+NORMAL_OVERSAMPLE = int(os.environ.get("ENDURANCE_NOVS", "0"))
+VERIFY_STRIDE = int(os.environ.get("ENDURANCE_VSTRIDE",
+                                   "1" if SMALL else "4"))
+VERIFY_YAWS = int(os.environ.get("ENDURANCE_VYAWS", "4"))
+DEDUP_KF = int(os.environ.get("ENDURANCE_DEDUP", "4"))
 
 # the loop circuit from datasets/synthetic.velodyne_log, closed per lap
 _LAP = [
@@ -141,7 +148,7 @@ def main() -> int:
             max_corr_dist=1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=50 if SMALL else 100, huber_delta=0.3, tol=1e-5,
-            step_scale=1.4, tol_update=0.01, nn_precision="highest",
+            step_scale=1.4, tol_update=0.01, nn_precision=NN_PRECISION,
             # r4 lap sweep: bf16 NN selection AND approx_min_k normals
             # each diverge the full-scale lap on this emulator - the
             # accuracy config runs both exact (BASELINE.md r4)
@@ -168,7 +175,8 @@ def main() -> int:
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
             keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
-            normal_approx=False,
+            normal_approx=NORMAL_OVERSAMPLE > 1,
+            normal_oversample=NORMAL_OVERSAMPLE,
         ),
         backend=BackendConfig(
             enabled=True, min_loop_separation=25, gating_radius=20.0,
@@ -180,6 +188,12 @@ def main() -> int:
             # on the first TPU endurance run (a true closure's deviation IS
             # the accumulated drift); widen with odometry path length
             verify_drift_rate=0.08,
+            # r5 backend-cost levers (VERDICT r4 item 5: 901 ms/frame
+            # amortized at 5-lap density): decimated verification ICP,
+            # lean yaw basket, one closure per revisit region
+            verify_stride=VERIFY_STRIDE,
+            verify_yaws=VERIFY_YAWS,
+            closure_dedup_kf=DEDUP_KF,
         ),
     )
     pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)

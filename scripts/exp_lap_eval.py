@@ -53,7 +53,8 @@ def _cfg(backend_on: bool):
             method="point_to_plane", max_iters=18, max_corr_dist=1.0,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=50 if SMALL else 100, huber_delta=0.3, tol=1e-5,
-            step_scale=1.4, tol_update=0.01, nn_precision="highest",
+            step_scale=1.4, tol_update=0.01,
+            nn_precision=os.environ.get("LAP_NN", "highest"),
             prior_trans_weight=0.004, prior_rot_weight=0.04,
             max_total_trans=1.5, max_total_rot=0.5,
             # LAP_LOOP=fused: the whole lap (corners + gates + closures)
@@ -71,11 +72,17 @@ def _cfg(backend_on: bool):
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
             keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
-            normal_approx=False,
+            normal_approx=int(os.environ.get("LAP_NOVS", "0")) > 1,
+            normal_oversample=int(os.environ.get("LAP_NOVS", "0")),
         ),
         backend=BackendConfig(
             enabled=backend_on, min_loop_separation=25, gating_radius=20.0,
             verify_max_dev=4.0, verify_drift_rate=0.08, max_keyframes=512,
+            # r5 backend-cost levers (defaults preserve the r4 baseline;
+            # set for A/B): LAP_VSTRIDE / LAP_VYAWS / LAP_DEDUP
+            verify_stride=int(os.environ.get("LAP_VSTRIDE", "1")),
+            verify_yaws=int(os.environ.get("LAP_VYAWS", "8")),
+            closure_dedup_kf=int(os.environ.get("LAP_DEDUP", "0")),
         ),
     )
 

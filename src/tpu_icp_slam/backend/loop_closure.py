@@ -128,7 +128,7 @@ def shift_match_scores(query: jnp.ndarray, descs: jnp.ndarray):
 
 @partial(
     jax.jit,
-    static_argnames=("cfg_coarse", "cfg_fine", "sectors", "dim"),
+    static_argnames=("cfg_coarse", "cfg_fine", "sectors", "dim", "n_yaws"),
 )
 def _batched_verify(
     query_points: jnp.ndarray,  # (M, D)
@@ -142,22 +142,27 @@ def _batched_verify(
     cfg_fine: ICPConfig,
     sectors: int,
     dim: int,
+    n_yaws: int = 8,
 ):
     """(candidates × yaw-hypotheses) coarse-to-fine verification, one program.
 
-    Yaw hypotheses per candidate: the 4 best descriptor shifts (computed on
-    device from one shift_score_matrix call) + the 4 cardinal yaws — sparse
-    descriptors give an unreliable single shift, so ICP seeds from a basket
-    and the best-rmse lock wins. Returns an ICPResult pytree with leading
-    (C, 8).
+    Yaw hypotheses per candidate: the top-ceil(Y/2) descriptor shifts
+    (computed on device from one shift_score_matrix call) + (Y − that)
+    cardinal yaws — sparse descriptors give an unreliable single shift, so
+    ICP seeds from a basket and the best-rmse lock wins. Returns an
+    ICPResult pytree with leading (C, Y).
     """
+    n_desc = (n_yaws + 1) // 2
+    n_card = n_yaws - n_desc
     rows = shift_score_matrix(query_desc, match_descs)  # (C, S)
-    _, top4 = jax.lax.top_k(rows, 4)  # (C, 4)
-    yaw4 = top4.astype(jnp.float32) * (2 * jnp.pi / sectors)
-    cardinals = jnp.asarray([0.0, jnp.pi / 2, jnp.pi, -jnp.pi / 2], jnp.float32)
+    _, topd = jax.lax.top_k(rows, n_desc)  # (C, n_desc)
+    yaw_d = topd.astype(jnp.float32) * (2 * jnp.pi / sectors)
+    cardinals = jnp.asarray(
+        [0.0, jnp.pi, jnp.pi / 2, -jnp.pi / 2], jnp.float32
+    )[:n_card]
     yaws = jnp.concatenate(
-        [yaw4, jnp.broadcast_to(cardinals, (rows.shape[0], 4))], axis=1
-    )  # (C, 8)
+        [yaw_d, jnp.broadcast_to(cardinals, (rows.shape[0], n_card))], axis=1
+    )  # (C, Y)
 
     def rotz(y):
         c, s = jnp.cos(y), jnp.sin(y)
@@ -433,6 +438,7 @@ class LoopDetector:
                 cfg_fine=self.icp_fine,
                 sectors=s_sec,
                 dim=d,
+                n_yaws=getattr(self.cfg, "verify_yaws", 8),
             )
             rm_l.append(np.asarray(fine.rmse, np.float64))
             in_l.append(np.asarray(fine.n_inliers))
@@ -480,6 +486,7 @@ class LoopDetector:
         kf_frames: list,
         kf_poses: list,
         pose,
+        accepted: Optional[list] = None,
     ):
         """Candidate search + batched verification for one new keyframe.
 
@@ -490,12 +497,38 @@ class LoopDetector:
         and `pose` use the same (d+1, d+1) convention as the scans (SE(2)
         3x3 for 2D, SE(3) 4x4 for 3D). Returns (n_candidates, accepted
         closures list).
+
+        `accepted` (the run's accepted-closure list so far) enables the
+        closure_dedup_kf region dedup: candidates whose (query, match) pair
+        falls within an already-closed revisit region are dropped BEFORE
+        the verification dispatch — at multi-lap density most keyframes of
+        a revisited stretch would otherwise re-verify the same seam
+        (BASELINE.md r4 endurance2: the backend wall).
+
+        verify_stride > 1 decimates both scans before the verification ICP
+        (see BackendConfig.verify_stride).
         """
         cands = self.candidates(kf_idx)
+        dd = getattr(self.cfg, "closure_dedup_kf", 0)
+        if dd > 0 and accepted:
+            cands = [
+                c for c in cands
+                if not any(
+                    abs(c.match_idx - lc.i) <= dd and abs(kf_idx - lc.j) <= dd
+                    for lc in accepted
+                )
+            ]
         if not cands:
             return 0, []
-        mp = np.stack([scans_pts[kf_frames[c.match_idx]] for c in cands])
-        mm = np.stack([scans_msk[kf_frames[c.match_idx]] for c in cands])
+        stride = max(1, getattr(self.cfg, "verify_stride", 1))
+        query_points = np.asarray(query_points)[::stride]
+        query_mask = np.asarray(query_mask)[::stride]
+        mp = np.stack(
+            [scans_pts[kf_frames[c.match_idx]][::stride] for c in cands]
+        )
+        mm = np.stack(
+            [scans_msk[kf_frames[c.match_idx]][::stride] for c in cands]
+        )
         T_preds = np.stack([
             np.linalg.inv(kf_poses[c.match_idx]) @ pose for c in cands
         ])

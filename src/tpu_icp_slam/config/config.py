@@ -231,6 +231,24 @@ class BackendConfig:
     # which an ACCEPTED closure is flagged suspect in reports/saved maps —
     # aliases the whole graph agrees on can't be rejected (DESIGN.md §13)
     # but must be visible to map consumers (VERDICT r2 item 9)
+    verify_stride: int = 1  # >1: decimate BOTH scans by this stride for
+    # loop verification ICP. Verification only needs a rigid transform at
+    # ~dm accuracy (the pose graph's measurement noise is the drift being
+    # closed, metres); a 4k-point alignment recovers transforms to <1e-3
+    # (config 1), so running the verify ICP at 16k scan capacity pays 16x
+    # the NN cost for nothing. The r4 endurance backend wall (901 ms/frame
+    # amortized, 3.6 s/keyframe at 5-lap candidate density) is mostly this.
+    verify_yaws: int = 8  # yaw hypotheses per candidate: top-ceil(Y/2)
+    # descriptor shifts + (Y - that) cardinal yaws. 8 was the r2 default;
+    # 4 (top-2 shifts + 2 cardinals) halves the verification batch.
+    closure_dedup_kf: int = 0  # >0: skip verifying a candidate when an
+    # ACCEPTED closure already links the same revisit region — query within
+    # this many keyframes of an accepted query AND match within this many
+    # of its match. At multi-lap candidate density every keyframe of a
+    # revisited stretch re-verifies the same place (r4 endurance2: 178
+    # accepted closures where ~a dozen distinct regions exist); the pose
+    # graph gains nothing from the 15th closure of the same seam, and each
+    # skip saves a full verification dispatch.
     verify_chunk: int = 4  # candidates verified per device dispatch: the
     # (candidates x 8 yaw hypotheses) nested-vmap ICP grows transient NN
     # buffers ~linearly in C, which OOMs at 16k-point scan capacity if all

@@ -134,7 +134,7 @@ class Slam2D:
                     # one nested-vmap dispatch for all candidates
                     n, lcs = self.detector.verify_keyframe_candidates(
                         kf_idx, pts[f], msk[f], pts, msk,
-                        kf_frames, kf_poses2, pose2,
+                        kf_frames, kf_poses2, pose2, closures,
                     )
                     n_cands += n
                     closures.extend(lcs)

@@ -140,7 +140,7 @@ class Slam3D:
                 n, lcs = retry_transient(
                     self.detector.verify_keyframe_candidates,
                     kf_idx, pts[f], msk[f], pts, msk,
-                    kf_frames, kf_poses, pose,
+                    kf_frames, kf_poses, pose, closures,
                 )
                 n_cands += n
                 closures.extend(lcs)

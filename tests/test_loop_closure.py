@@ -87,6 +87,79 @@ def test_detector_finds_revisit_and_verifies():
     assert t_err < 0.5, f"loop transform off by {t_err} m"
 
 
+def _loop_fixture(cfg):
+    scans, gt = synthetic.velodyne_log(
+        n_frames=24, n_rings=12, n_azimuth=256, loop=True
+    )
+    det = LoopDetector(cfg)
+    cap = 1536
+    pts_all = np.full((len(scans), cap, 3), 1.0e6, np.float32)
+    msk_all = np.zeros((len(scans), cap), bool)
+    for i in range(len(scans)):
+        s = voxel_downsample_np(scans[i], 0.5)[:cap]
+        pts_all[i, : len(s)] = s
+        msk_all[i, : len(s)] = True
+        det.add_keyframe(pts_all[i], msk_all[i], position=gt[i][:3, 3])
+    return det, pts_all, msk_all, gt
+
+
+def test_verify_keyframe_candidates_strided_lean_yaws():
+    """The r5 backend cost levers (BASELINE.md r4: 901 ms/frame amortized
+    backend wall): verification at stride 2 with a 4-yaw basket must still
+    accept the true revisit with an accurate transform."""
+    cfg = BackendConfig(
+        enabled=True, min_loop_separation=12, candidate_topk=3,
+        verify_max_rmse=0.6, gating_radius=15.0, verify_max_dev=5.0,
+        verify_stride=2, verify_yaws=4,
+    )
+    det, pts_all, msk_all, gt = _loop_fixture(cfg)
+    q = len(pts_all) - 1
+    kf_frames = list(range(len(pts_all)))
+    kf_poses = [gt[i] for i in range(len(pts_all))]
+    n, lcs = det.verify_keyframe_candidates(
+        q, pts_all[q], msk_all[q], pts_all, msk_all,
+        kf_frames, kf_poses, gt[q],
+    )
+    assert n > 0 and lcs, "strided verification rejected the true loop"
+    lc = lcs[0]
+    T_gt = np.linalg.inv(gt[lc.i]) @ gt[lc.j]
+    t_err = np.linalg.norm(lc.T_ij[:3, 3] - T_gt[:3, 3])
+    assert t_err < 0.5, f"strided loop transform off by {t_err} m"
+
+
+def test_closure_dedup_skips_already_closed_region():
+    """closure_dedup_kf: once a closure links a revisit region, nearby
+    (query, match) candidates are dropped before the verify dispatch."""
+    cfg = BackendConfig(
+        enabled=True, min_loop_separation=12, candidate_topk=3,
+        verify_max_rmse=0.6, gating_radius=15.0, verify_max_dev=5.0,
+        closure_dedup_kf=4,
+    )
+    det, pts_all, msk_all, gt = _loop_fixture(cfg)
+    kf_frames = list(range(len(pts_all)))
+    kf_poses = [gt[i] for i in range(len(pts_all))]
+    q = len(pts_all) - 2
+    n1, lcs1 = det.verify_keyframe_candidates(
+        q, pts_all[q], msk_all[q], pts_all, msk_all,
+        kf_frames, kf_poses, gt[q],
+    )
+    assert lcs1, "fixture did not produce a first closure"
+    # the next keyframe revisits the SAME region: with the accepted list
+    # passed, every candidate falls inside the dedup window — no dispatch
+    q2 = q + 1
+    n2, lcs2 = det.verify_keyframe_candidates(
+        q2, pts_all[q2], msk_all[q2], pts_all, msk_all,
+        kf_frames, kf_poses, gt[q2], lcs1,
+    )
+    assert n2 == 0 and lcs2 == [], (n2, [(lc.i, lc.j) for lc in lcs2])
+    # without the accepted list the same call verifies again (control)
+    n3, _ = det.verify_keyframe_candidates(
+        q2, pts_all[q2], msk_all[q2], pts_all, msk_all,
+        kf_frames, kf_poses, gt[q2],
+    )
+    assert n3 > 0
+
+
 def test_relocalize_in_keyframe_map():
     """Kidnapped-robot: place a scan in the map with no prior."""
     scans, gt = synthetic.velodyne_log(
