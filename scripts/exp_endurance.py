@@ -52,6 +52,12 @@ VERIFY_STRIDE = int(os.environ.get("ENDURANCE_VSTRIDE",
                                    "1" if SMALL else "4"))
 VERIFY_YAWS = int(os.environ.get("ENDURANCE_VYAWS", "4"))
 DEDUP_KF = int(os.environ.get("ENDURANCE_DEDUP", "4"))
+# gate-x-voxel-ratio knobs (DESIGN.md §18): the full-scale defaults
+# (corr 1.0 / voxel 0.2 = ratio 5) are the divergence regime the r5 ratio
+# cross-check isolated; set ENDURANCE_VOXEL=0.35 (ratio 2.9) once the TPU
+# confirmation arm lands
+VOXEL = float(os.environ.get("ENDURANCE_VOXEL", "0")) or None
+CORR = float(os.environ.get("ENDURANCE_CORR", "1.0"))
 
 # the loop circuit from datasets/synthetic.velodyne_log, closed per lap
 _LAP = [
@@ -145,7 +151,7 @@ def main() -> int:
     cfg = SlamConfig(
         icp=ICPConfig(
             method="point_to_plane", max_iters=18,
-            max_corr_dist=1.0,
+            max_corr_dist=CORR,
             damping=1e-3, max_step_trans=1.0, max_step_rot=0.3,
             min_inliers=50 if SMALL else 100, huber_delta=0.3, tol=1e-5,
             step_scale=1.4, tol_update=0.01, nn_precision=NN_PRECISION,
@@ -167,10 +173,10 @@ def main() -> int:
         ),
         mapping=(
             MappingConfig(map_capacity=32768, local_model_size=4096,
-                          map_voxel=0.35)
+                          map_voxel=VOXEL or 0.35)
             if SMALL else
             MappingConfig(map_capacity=131072, local_model_size=16384,
-                          map_voxel=0.2)
+                          map_voxel=VOXEL or 0.2)
         ),
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
