@@ -68,10 +68,12 @@ def _cfg(backend_on: bool):
         ),
         mapping=(
             MappingConfig(map_capacity=32768, local_model_size=4096,
-                          map_voxel=0.35)
+                          map_voxel=float(os.environ.get("LAP_VOXEL", "0"))
+                          or 0.35)
             if SMALL else
             MappingConfig(map_capacity=131072, local_model_size=16384,
-                          map_voxel=0.2)
+                          map_voxel=float(os.environ.get("LAP_VOXEL", "0"))
+                          or 0.2)
         ),
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
