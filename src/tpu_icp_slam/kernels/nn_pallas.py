@@ -24,17 +24,31 @@ Precision modes (the r2 A/B, VERDICT r1 item 3; "rescore" added r5):
 - "rescore": EXACT-selection at near-bf16 cost (VERDICT r4 item 1). One
   bf16 MXU pass (same packed contraction as "bf16") acts as a PREFILTER:
   instead of folding tiles into a single running argmin, the kernel emits a
-  per-(row, target-tile) top-2 shortlist — (2 × N/TN) candidates per source
+  per-(row, target-tile) top-1 shortlist — N/TN candidates per source
   point — and the true nearest neighbor is then selected OUTSIDE the kernel
   by an exact f32 difference-form rescore of the shortlist only (a gather of
-  C≈64–128 candidate points per row plus elementwise work; ~free next to
+  C≈8–64 candidate points per row plus elementwise work; ~free next to
   the M×N contraction). Near-tie selection jitter — the mechanism that
   diverged the 200-frame lap under plain bf16 (BASELINE.md r4 lap sweep) —
-  is resolved in f32: the pick can only miss the true NN if the true NN
-  ranks ≥3rd IN ITS OWN TILE under bf16 scoring, and even then the picked
-  point's true distance exceeds the optimum by at most the bf16 score
-  error. Returned d² is exact (difference form), unlike the other modes'
-  factored form. Costs 1 MXU pass + ε vs HIGHEST's 6.
+  is resolved in f32.
+
+  The load-bearing trick is a DEAL-INTERLEAVE of the target: the voxel map
+  is lexsorted, so the bf16-confusable near-ties (spatially adjacent
+  points) are CONTIGUOUS in index — a naive per-tile shortlist would put a
+  near-tie pair in the same tile and hand the decision back to bf16.
+  Targets are therefore dealt round-robin across tiles (permuted position
+  p = j·TN + t holds original index t·(N/TN) + j), which places any run of
+  up to N/TN adjacent indices in PAIRWISE-DISTINCT tiles: each near-tie
+  reaches the f32 rescore as its own tile's candidate. This replaces the
+  r5-first-cut top-2-per-tile design, whose second full (TM×TN) reduction
+  pass (min+argmin over a masked copy + a column iota) nearly doubled the
+  kernel's VMEM traffic — the sweep measured 3.08 ms/call vs bf16's 1.78
+  at the 16k headline, while top-1 adds only the output rows. The pick can
+  still miss the true NN if an adjacent-run longer than N/TN folds two
+  near-ties into one tile (tile_n auto-shrinks so N/TN ≥ 8 where shapes
+  allow), and then the excess is bounded by the bf16 score error — the
+  failure mode degrades to plain bf16 instead of compounding. Returned d²
+  is exact (difference form), unlike the other modes' factored form.
 - "bf16": ONE bf16 MXU pass with TWO tricks stacked:
   1. recentering — subtract the valid-target bounding-box midpoint (f32) so
      bf16 sees scene-extent magnitudes, not world offsets;
@@ -122,22 +136,19 @@ def _nn_kernel(precision, src_ref, dst_ref, bsq_ref, dist_ref, idx_ref):
         idx_ref[0, :] = jnp.where(take_new, local_arg, idx_ref[0, :])
 
 
-def _nn_kernel_shortlist(
-    precision, src_ref, dst_ref, bsq_ref, d1_ref, i1_ref, d2_ref, i2_ref
-):
-    """Per-(row, target-tile) top-2 shortlist variant (rescore mode).
+def _nn_kernel_shortlist(precision, src_ref, dst_ref, bsq_ref, i1_ref):
+    """Per-(row, target-tile) top-1 shortlist variant (rescore mode).
 
     No cross-tile folding: the output block spans ALL target tiles
     ((N/TN, TM), revisited while j varies — Mosaic requires block dims
     divisible by (8, 128) or equal to the array, so a (1, TM) per-tile
     block is not lowerable; instead each j-step dynamically writes ITS row
     of the resident block) — the caller gets the full (N/TN, M) candidate
-    table to rescore in f32. Top-2 per tile (not top-1) because the voxel
-    map is stored lexsorted by voxel key — spatially adjacent points
-    (exactly the bf16-confusable near-ties) are CONTIGUOUS in index and
-    therefore land in the SAME tile; a top-1 shortlist would hand the
-    within-tile near-tie decision back to bf16, which is the failure mode
-    this mode exists to remove."""
+    index table to rescore exactly in f32. Near-tie robustness comes from
+    the caller's deal-interleave of the target (see module docstring), NOT
+    from a within-tile top-2: the second full (TM×TN) reduction pass of
+    the first-cut design nearly doubled the kernel cost (sweep: 3.08 vs
+    1.78 ms). Indices returned are positions in the PERMUTED target."""
     j = pl.program_id(1)
     tn = dst_ref.shape[0]
     a = src_ref[:]
@@ -150,18 +161,7 @@ def _nn_kernel_shortlist(
         precision=precision,
     )  # (TM, TN)
     e = e + bsq_ref[:]
-    best = jnp.min(e, axis=1)  # (TM,)
-    arg = jnp.argmin(e, axis=1).astype(jnp.int32)
-    # second-best: mask the winning COLUMN (not the winning value — ties
-    # must stay eligible as the second candidate) and reduce again
-    cols = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-    e2 = jnp.where(cols == arg[:, None], jnp.float32(jnp.inf), e)
-    best2 = jnp.min(e2, axis=1)
-    arg2 = jnp.argmin(e2, axis=1).astype(jnp.int32)
-    d1_ref[j, :] = best
-    i1_ref[j, :] = arg + j * tn
-    d2_ref[j, :] = best2
-    i2_ref[j, :] = arg2 + j * tn
+    i1_ref[j, :] = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tn
 
 
 def _round_up(x: int, m: int) -> int:
@@ -191,14 +191,14 @@ def nn_bruteforce_pallas(
     sweep at the headline 16,384×131,072 regime (`scripts/exp_tiles_headline
     .py`, obs.realize fence, 2026-08-19: bf16 1.829 ms/call vs 1.953 at the
     old r2-era 1024×8192 — table in BASELINE.md "NN tile sweep"). Rescore
-    mode defaults to 256×2048: its kernel holds ~3 (TM×TN) f32/i32 arrays in
-    VMEM at once (e, the column iota, and the masked copy) vs the fold
-    kernel's 1, so the tile must shrink to stay under the ~16 MB scoped
-    VMEM limit; smaller TN also means more tiles = more shortlist
-    candidates. Single-regime sweeps; pin tile_m/tile_n at call sites for
-    very different shapes. (The r1 sweep numbers previously cited here were
-    enqueue rates and were formally invalidated; 4096×8192 VMEM-OOMs at the
-    16 MB scoped limit, which still bounds tile_m·tile_n.)
+    mode defaults to 512×2048 and additionally auto-shrinks tile_n so at
+    least ~8 tiles cover the target where shapes allow — the shortlist has
+    one candidate per tile, and near-tie robustness needs adjacent-index
+    runs (up to the tile count) to land in distinct tiles under the
+    deal-interleave. Single-regime sweeps; pin tile_m/tile_n at call sites
+    for very different shapes. (The r1 sweep numbers previously cited here
+    were enqueue rates and were formally invalidated; 4096×8192 VMEM-OOMs
+    at the 16 MB scoped limit, which still bounds tile_m·tile_n.)
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -207,9 +207,12 @@ def nn_bruteforce_pallas(
     src = src.astype(jnp.float32)
     dst = dst.astype(jnp.float32)
     if not tile_m:
-        tile_m = 256 if precision == "rescore" else 512
+        tile_m = 512
     if not tile_n:
         tile_n = 2048 if precision == "rescore" else 8192
+    if precision == "rescore":
+        # ≥ ~8 shortlist candidates where the target is big enough
+        tile_n = min(tile_n, max(128, _round_up(-(-n // 8), 128)))
     tile_m = min(tile_m, _round_up(m, 8))
     tile_n = min(tile_n, _round_up(n, 128))
     mp = _round_up(m, tile_m)
@@ -233,6 +236,16 @@ def nn_bruteforce_pallas(
     a_sq = jnp.sum(src * src, axis=1)  # (M,) for d² recovery
     src_p = jnp.pad(src, ((0, mp - m), (0, 0)))
     dst_p = jnp.pad(dst, ((0, np_ - n), (0, 0)), constant_values=1.0e6)
+    ntj = np_ // tile_n
+    dst_p_orig = dst_p  # original index order (the rescore gather's target)
+    if precision == "rescore" and ntj > 1:
+        # deal-interleave: permuted position p = j·TN + t holds original
+        # index t·ntj + j, so runs of up to ntj adjacent original indices
+        # (= the lexsorted near-tie clusters) land in pairwise-distinct
+        # tiles and each reaches the f32 rescore as its own candidate
+        dst_p = dst_p.reshape(tile_n, ntj, dim).transpose(1, 0, 2).reshape(
+            np_, dim
+        )
     b_sq = jnp.sum(dst_p * dst_p, axis=1)[None, :]  # (1, Np) f32, stays f32
 
     if precision in ("bf16", "rescore"):
@@ -281,13 +294,7 @@ def nn_bruteforce_pallas(
         passes = 6
     grid = (mp // tile_m, np_ // tile_n)
     if precision == "rescore":
-        ntj = np_ // tile_n
-        shortlist_specs = [
-            pl.BlockSpec((ntj, tile_m), lambda i, j: (0, i),
-                         memory_space=pltpu.VMEM)
-            for _ in range(4)
-        ]
-        d1, i1, d2t, i2 = pl.pallas_call(
+        i1 = pl.pallas_call(
             functools.partial(_nn_kernel_shortlist, mxu_precision),
             grid=grid,
             in_specs=[
@@ -298,17 +305,13 @@ def nn_bruteforce_pallas(
                 pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=shortlist_specs,
-            out_shape=[
-                jax.ShapeDtypeStruct((ntj, mp), jnp.float32),
-                jax.ShapeDtypeStruct((ntj, mp), jnp.int32),
-                jax.ShapeDtypeStruct((ntj, mp), jnp.float32),
-                jax.ShapeDtypeStruct((ntj, mp), jnp.int32),
-            ],
+            out_specs=pl.BlockSpec((ntj, tile_m), lambda i, j: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((ntj, mp), jnp.int32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * mp * np_ * lanes * passes,
                 bytes_accessed=(mp + np_) * lanes * a_aug.dtype.itemsize
-                + np_ * 4 + 4 * ntj * mp * 4,
+                + np_ * 4 + ntj * mp * 4,
                 transcendentals=0,
             ),
             interpret=interpret,
@@ -316,8 +319,12 @@ def nn_bruteforce_pallas(
         # exact f32 rescore of the shortlist (difference form — shift-
         # invariant, so the recentered coords are as exact as the originals;
         # sentinel-padded target rows carry ~1e6 coords and lose naturally)
-        cand = jnp.concatenate([i1, i2], axis=0).T[:m]  # (m, 2·ntj)
-        cp = dst_p[cand]  # (m, C, D)
+        cand_p = i1.T[:m]  # (m, ntj) positions in the PERMUTED target
+        if ntj > 1:  # invert the deal-interleave: o(p) = (p % TN)·ntj + p//TN
+            cand = (cand_p % tile_n) * ntj + cand_p // tile_n
+        else:
+            cand = cand_p
+        cp = dst_p_orig[cand]  # (m, C, D)
         diff = src[:, None, :] - cp
         d2c = jnp.sum(diff * diff, axis=-1)  # (m, C) exact f32
         best = jnp.argmin(d2c, axis=1)
