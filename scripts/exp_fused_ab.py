@@ -47,6 +47,9 @@ if __name__ == "__main__":
     base = _base()
     variants = {
         "flagship": base,
+        # r5: the steps loop with the exact-selection shortlist+rescore NN
+        # — the config the accuracy-first flagship flip rides on
+        "flagship_rescore": _icpcfg(base, nn_precision="rescore"),
         "fused": _icpcfg(base, loop_backend="fused"),
         "fused_f32": _icpcfg(base, loop_backend="fused",
                              nn_precision="highest"),
