@@ -32,23 +32,26 @@ Precision modes (the r2 A/B, VERDICT r1 item 3; "rescore" added r5):
   diverged the 200-frame lap under plain bf16 (BASELINE.md r4 lap sweep) —
   is resolved in f32.
 
-  The load-bearing trick is a DEAL-INTERLEAVE of the target: the voxel map
-  is lexsorted, so the bf16-confusable near-ties (spatially adjacent
-  points) are CONTIGUOUS in index — a naive per-tile shortlist would put a
-  near-tie pair in the same tile and hand the decision back to bf16.
-  Targets are therefore dealt round-robin across tiles (permuted position
-  p = j·TN + t holds original index t·(N/TN) + j), which places any run of
-  up to N/TN adjacent indices in PAIRWISE-DISTINCT tiles: each near-tie
-  reaches the f32 rescore as its own tile's candidate. This replaces the
-  r5-first-cut top-2-per-tile design, whose second full (TM×TN) reduction
-  pass (min+argmin over a masked copy + a column iota) nearly doubled the
-  kernel's VMEM traffic — the sweep measured 3.08 ms/call vs bf16's 1.78
-  at the 16k headline, while top-1 adds only the output rows. The pick can
-  still miss the true NN if an adjacent-run longer than N/TN folds two
-  near-ties into one tile (tile_n auto-shrinks so N/TN ≥ 8 where shapes
-  allow), and then the excess is bounded by the bf16 score error — the
-  failure mode degrades to plain bf16 instead of compounding. Returned d²
-  is exact (difference form), unlike the other modes' factored form.
+  The load-bearing structural trick is the DEAL-INTERLEAVE of the target:
+  candidate slots (one per tile) only help near-ties that land in
+  DIFFERENT tiles, and real target orders are adversarial — the voxel map
+  is lexsorted and sensor scans are ring/angular-major, so the
+  bf16-confusable near-ties (spatially adjacent points) are index-ADJACENT
+  (and a naive blocked layout measured 10/256 wrong picks on the chip).
+  Targets are therefore dealt round-robin across the tiles (permuted
+  position j·TN + t holds original index t·(N/TN) + j), which places any
+  run of up to N/TN adjacent indices in PAIRWISE-DISTINCT tiles — each
+  near-tie reaches the f32 rescore as its own tile's candidate.
+  extract_local re-sorts its selection back into map order for exactly
+  this reason. A wrong pick needs two near-ties far apart in index that
+  also collide mod-(N/TN) (tile_n auto-shrinks so N/TN ≥ 8 where shapes
+  allow) — and the shortlist ALWAYS contains plain bf16's global pick, so
+  the failure mode degrades to plain-bf16 selection (excess bounded by the
+  bf16 score error) instead of compounding. Returned d² is exact
+  (difference form), unlike the other modes' factored form. (A G-segment
+  per-tile shortlist would multiply the slots at no extra traffic, but no
+  formulation lowers on this Mosaic — see the comment at the `groups`
+  constant.)
 - "bf16": ONE bf16 MXU pass with TWO tricks stacked:
   1. recentering — subtract the valid-target bounding-box midpoint (f32) so
      bf16 sees scene-extent magnitudes, not world offsets;
@@ -136,20 +139,25 @@ def _nn_kernel(precision, src_ref, dst_ref, bsq_ref, dist_ref, idx_ref):
         idx_ref[0, :] = jnp.where(take_new, local_arg, idx_ref[0, :])
 
 
-def _nn_kernel_shortlist(precision, src_ref, dst_ref, bsq_ref, i1_ref):
-    """Per-(row, target-tile) top-1 shortlist variant (rescore mode).
+def _nn_kernel_shortlist(precision, groups, src_ref, dst_ref, bsq_ref,
+                         i1_ref):
+    """Per-(row, target-tile) G-group shortlist variant (rescore mode).
 
-    No cross-tile folding: the output block spans ALL target tiles
-    ((N/TN, TM), revisited while j varies — Mosaic requires block dims
-    divisible by (8, 128) or equal to the array, so a (1, TM) per-tile
-    block is not lowerable; instead each j-step dynamically writes ITS row
-    of the resident block) — the caller gets the full (N/TN, M) candidate
-    index table to rescore exactly in f32. Near-tie robustness comes from
-    the caller's deal-interleave of the target (see module docstring), NOT
-    from a within-tile top-2: the second full (TM×TN) reduction pass of
-    the first-cut design nearly doubled the kernel cost (sweep: 3.08 vs
-    1.78 ms). Indices returned are positions in the PERMUTED target."""
+    Emits the argmin of each of `groups` contiguous column segments — one
+    pass over the score matrix, G candidates per (row, tile), expressed as
+    a ROW-MAJOR RESHAPE (TM, TN) → (TM·G, TN/G) + one argmin + one
+    dynamic-row store. Rejected formulations, all measured/failed on chip:
+    per-group column slices each relayout a copy of e (6.06 ms vs bf16's
+    1.77 at the 16k headline); partial-row dynamic stores don't lower
+    ("dynamic store with unaligned indices"); 1-D concatenates don't lower
+    ("input offsets outside the first tile"). The output block spans all
+    target tiles ((N/TN, G·TM), revisited while j varies); row j holds the
+    segment-LOCAL argmins laid out (src-row-major × group) — the caller
+    adds the j·TN + g·W offsets and inverts the deal-interleave. Near-tie
+    robustness comes from the deal across the (tile × group) slots (module
+    docstring)."""
     j = pl.program_id(1)
+    tm = src_ref.shape[0]
     tn = dst_ref.shape[0]
     a = src_ref[:]
     b = dst_ref[:]
@@ -161,7 +169,10 @@ def _nn_kernel_shortlist(precision, src_ref, dst_ref, bsq_ref, i1_ref):
         precision=precision,
     )  # (TM, TN)
     e = e + bsq_ref[:]
-    i1_ref[j, :] = jnp.argmin(e, axis=1).astype(jnp.int32) + j * tn
+    if groups > 1:
+        # row-major segmentation as a reshape — identity when groups == 1
+        e = e.reshape(tm * groups, tn // groups)
+    i1_ref[j, :] = jnp.argmin(e, axis=1).astype(jnp.int32)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -237,15 +248,32 @@ def nn_bruteforce_pallas(
     src_p = jnp.pad(src, ((0, mp - m), (0, 0)))
     dst_p = jnp.pad(dst, ((0, np_ - n), (0, 0)), constant_values=1.0e6)
     ntj = np_ // tile_n
+    # G-group shortlists (one candidate per contiguous column segment, G·ntj
+    # slots) would multiply near-tie robustness for free in traffic terms,
+    # but EVERY formulation fails on this Mosaic (measured 2026-08-20):
+    # per-group column slices relayout full copies of e (6.06 ms vs bf16's
+    # 1.77), the (TM,TN)→(TM·G,TN/G) reshape is an "unsupported shape
+    # cast", partial-row dynamic stores and 1-D concatenates don't lower.
+    # groups therefore stays 1 (per-TILE shortlist); robustness rests on
+    # the deal-interleave + adjacency-coherent target layouts (lexsorted
+    # maps — extract_local re-sorts its selection for exactly this — and
+    # ring/angular-major sensor scans). Arbitrary target orders degrade
+    # gracefully: ~1/ntj of near-tie pairs collide per tile and those picks
+    # are still bounded by the bf16 score error (never worse than plain
+    # bf16, whose global pick is always shortlisted).
+    groups = 1
+    w0 = tile_n // groups
+    s_slots = ntj * groups
     dst_p_orig = dst_p  # original index order (the rescore gather's target)
-    if precision == "rescore" and ntj > 1:
-        # deal-interleave: permuted position p = j·TN + t holds original
-        # index t·ntj + j, so runs of up to ntj adjacent original indices
-        # (= the lexsorted near-tie clusters) land in pairwise-distinct
-        # tiles and each reaches the f32 rescore as its own candidate
-        dst_p = dst_p.reshape(tile_n, ntj, dim).transpose(1, 0, 2).reshape(
-            np_, dim
-        )
+    if precision == "rescore" and s_slots > 1:
+        # deal-interleave across ALL (tile × group) shortlist slots:
+        # permuted position p = j·TN + g·W + w holds original index
+        # w·S + j·G + g, so runs of up to S adjacent original indices
+        # (the sorted-layout near-tie clusters) land in pairwise-distinct
+        # slots and each reaches the f32 rescore as its own candidate
+        dst_p = dst_p.reshape(w0, ntj, groups, dim).transpose(
+            1, 2, 0, 3
+        ).reshape(np_, dim)
     b_sq = jnp.sum(dst_p * dst_p, axis=1)[None, :]  # (1, Np) f32, stays f32
 
     if precision in ("bf16", "rescore"):
@@ -295,7 +323,7 @@ def nn_bruteforce_pallas(
     grid = (mp // tile_m, np_ // tile_n)
     if precision == "rescore":
         i1 = pl.pallas_call(
-            functools.partial(_nn_kernel_shortlist, mxu_precision),
+            functools.partial(_nn_kernel_shortlist, mxu_precision, groups),
             grid=grid,
             in_specs=[
                 pl.BlockSpec((tile_m, lanes), lambda i, j: (i, 0),
@@ -305,25 +333,37 @@ def nn_bruteforce_pallas(
                 pl.BlockSpec((1, tile_n), lambda i, j: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((ntj, tile_m), lambda i, j: (0, i),
+            out_specs=pl.BlockSpec((ntj, groups * tile_m),
+                                   lambda i, j: (0, i),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ntj, mp), jnp.int32),
+            out_shape=jax.ShapeDtypeStruct((ntj, groups * mp), jnp.int32),
             cost_estimate=pl.CostEstimate(
                 flops=2 * mp * np_ * lanes * passes,
                 bytes_accessed=(mp + np_) * lanes * a_aug.dtype.itemsize
-                + np_ * 4 + ntj * mp * 4,
+                + np_ * 4 + ntj * groups * mp * 4,
                 transcendentals=0,
             ),
             interpret=interpret,
         )(a_aug, b_aug, b_sq)
+        # unpack: row j of i1 holds blocks of (tile_m × groups)
+        # segment-LOCAL argmins per source block i; rebuild the global
+        # PERMUTED position p = j·TN + g·W + local
+        nb = mp // tile_m
+        v = i1.reshape(ntj, nb, tile_m, groups)
+        jv = jnp.arange(ntj, dtype=jnp.int32)[:, None, None, None]
+        gv = jnp.arange(groups, dtype=jnp.int32)[None, None, None, :]
+        p = v + jv * tile_n + gv * w0
+        cand_p = p.transpose(1, 2, 0, 3).reshape(mp, s_slots)[:m]  # (m, S)
+        if s_slots > 1:
+            # invert the deal: o = w·S + j·G + g from p = j·TN + g·W + w
+            jt = cand_p // tile_n
+            c = cand_p % tile_n
+            cand = (c % w0) * s_slots + jt * groups + c // w0
+        else:
+            cand = cand_p
         # exact f32 rescore of the shortlist (difference form — shift-
         # invariant, so the recentered coords are as exact as the originals;
         # sentinel-padded target rows carry ~1e6 coords and lose naturally)
-        cand_p = i1.T[:m]  # (m, ntj) positions in the PERMUTED target
-        if ntj > 1:  # invert the deal-interleave: o(p) = (p % TN)·ntj + p//TN
-            cand = (cand_p % tile_n) * ntj + cand_p // tile_n
-        else:
-            cand = cand_p
         cp = dst_p_orig[cand]  # (m, C, D)
         diff = src[:, None, :] - cp
         d2c = jnp.sum(diff * diff, axis=-1)  # (m, C) exact f32

@@ -237,6 +237,16 @@ def extract_local(vm: VoxelMap, center: jnp.ndarray, size: int,
     r_cover = jnp.where(full, r_sel, jnp.inf)
     if radius > 0.0:
         r_cover = jnp.minimum(r_cover, radius)
+    # restore MAP order (voxel-key lexsort) in the local model: top_k
+    # returns distance-from-center order, which scatters spatially-adjacent
+    # map points across the whole index range — the rescore NN's
+    # deal-interleave (nn_pallas.py) then loses its adjacency guarantee
+    # (near-ties must be index-close to provably land in distinct shortlist
+    # slots). Sorting the selected indices recovers the store's lexsort
+    # adjacency; nothing downstream depends on extraction order.
+    order = jnp.argsort(jnp.where(msk, idx, jnp.iinfo(jnp.int32).max))
+    idx = idx[order]
+    msk = msk[order]
     pts = jnp.where(msk[:, None], vm.points[idx], PAD_COORD)
     nrm = jnp.where(msk[:, None], vm.normals[idx], 0.0)
     return pts, nrm, msk, r_cover
