@@ -88,6 +88,11 @@ stage endurance3 5400 env ENDURANCE_NN=rescore ENDURANCE_NOVS=4 \
 # 5. whole-loop fused ICP A/B (VERDICT r4 item 4: run to a decision)
 stage fused_ab 4500 python scripts/exp_fused_ab.py
 
+# 5b. fused-path full-scale lap soak (r4 item 8 leftover: the 2D
+#     adversarial soak cannot reach the 3D-only fused kernel)
+stage lap_fused 7200 env LAP_SCALE=full LAP_LOOP=fused LAP_NN=highest \
+  python scripts/exp_lap_eval.py
+
 # 6. KITTI-00 length: 4,541 frames (~23 laps of the circuit)
 stage kitti00_len 10800 env ENDURANCE_NN=rescore ENDURANCE_NOVS=4 \
   ENDURANCE_FRAMES=4541 ENDURANCE_CACHE=/tmp/end_scans_k00 \
