@@ -58,6 +58,10 @@ DEDUP_KF = int(os.environ.get("ENDURANCE_DEDUP", "4"))
 # confirmation arm lands
 VOXEL = float(os.environ.get("ENDURANCE_VOXEL", "0")) or None
 CORR = float(os.environ.get("ENDURANCE_CORR", "1.0"))
+# KITTI-00-length runs need a bigger keyframe DB: 4,541 frames at ~2.5 m
+# keyframe spacing produce ~1,300 keyframes (the r5 first length run
+# overflowed the 512 cap and the backend store saturated)
+MAX_KF = int(os.environ.get("ENDURANCE_MAXKF", "512"))
 
 # the loop circuit from datasets/synthetic.velodyne_log, closed per lap
 _LAP = [
@@ -189,7 +193,8 @@ def main() -> int:
             # gating 20 m: the full-lap odometry trace peaks at 16.6 m of
             # drift (BASELINE.md) - a 15 m gate would exclude true closures
             # exactly where they matter most
-            verify_max_dev=4.0, max_keyframes=512,
+            verify_max_dev=4.0, max_keyframes=MAX_KF,
+            max_factors=max(2048, 2 * MAX_KF + 1024),
             # r4: a FIXED dev gate rejected all 157 lap-closure candidates
             # on the first TPU endurance run (a true closure's deviation IS
             # the accumulated drift); widen with odometry path length

@@ -127,6 +127,16 @@ def main() -> int:
         # for the flagship config flip (VERDICT r4 item 1)
         "corr1.0_rescore_ovs": dict(corr=1.0, precision="rescore",
                                     normal_oversample=4),
+        # isolate the normals half: oversampled-rescore normals rescore
+        # EXACT f32 values (immune to the accumulator noise that killed
+        # the NN-rescore arm) — if this bounds like hi_exn, the normals
+        # flip alone is accuracy-safe
+        "corr1.0_hi_ovs": dict(corr=1.0, precision="highest",
+                               normal_oversample=4),
+        # and the XLA-exact-NN + oversampled normals pairing (the best
+        # accuracy arm's NN with the cheap normals)
+        "corr1.0_xla_ovs": dict(corr=1.0, precision="highest",
+                                nn_backend="xla", normal_oversample=4),
         # gate x voxel-ratio isolation (VERDICT r4 item 6): small scale
         # bounds at 4.6 m final with corr/voxel = 1.0/0.35 = 2.9; the
         # flagship ratio is 1.0/0.2 = 5. If the RATIO is the residual
