@@ -697,9 +697,15 @@ def icp_fused_pallas(
     # allocations): pre-transpose resident alone was 20.11M; transposed with
     # 1024x512 tiles measured 17.67M => resident ~5.8M (the (1, Mp) rows
     # pad 1->8 sublanes) and ~23 B per tile element (Mosaic carries several
-    # copies of the distance tile through min/argmin/one-hot). Budget 13M.
+    # copies of the distance tile through min/argmin/one-hot).
+    # r5 RECALIBRATION: the r4 coefficient was an UNDERESTIMATE — the r5
+    # fused A/B still compile-OOMed at the flagship regime (17.61M scoped vs
+    # the 16M limit at the shrunken tiles), implying ~47-58 B per tile
+    # element on the current kernel (more Mosaic-carried copies through the
+    # min/argmin/one-hot/fold chain than r4's measurement). 50 B/elem keeps
+    # ~3 MB of headroom at the tiles this now selects.
     def _vmem_est(tm, tn):
-        return mp * 200 + np_ * 120 + tm * tn * 23
+        return mp * 200 + np_ * 120 + tm * tn * 50
     while (tile_n_ > 256 and tile_n_ % 256 == 0
            and _vmem_est(tile_m_, tile_n_) > 13_000_000):
         tile_n_ = tile_n_ // 2
