@@ -97,8 +97,12 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             # emulator) diverges the 200-frame lap (err 65 m vs 12.7 with
             # highest, BASELINE.md r4 lap sweep) — the r2 A/B only ever
             # tested 30 straight frames. bf16 remains an opt-in speed mode;
-            # on conformant hardware it is near-exact. BENCH_NN=rescore
-            # measures the r5 exact-selection shortlist kernel pre-flip.
+            # on conformant hardware it is near-exact. The r5 shortlist+
+            # rescore kernel (BENCH_NN=rescore, +12.8% fps paired) ALSO
+            # diverges the lap on this emulator — its bf16 prefilter
+            # inherits the accumulator noise at scene extents (BASELINE.md
+            # r5 extent-noise finding) — so the flagship stays at highest;
+            # rescore remains the designed fast path for conformant TPUs.
             prior_trans_weight=0.004, prior_rot_weight=0.04,
             max_total_trans=1.5, max_total_rot=0.5,
             # r4 corner robustness pair (BASELINE.md r4): motion prior +
@@ -123,8 +127,8 @@ def _cfg(capacity, map_capacity, local_model, map_voxel, max_corr, min_inl,
             # default; approximate on TPU only) also diverge the lap —
             # exact both, see the BASELINE.md r4 lap-sweep table.
             # BENCH_NOVS>1 measures the r5 oversample+rescore path pre-flip.
-            normal_approx=int(os.environ.get("BENCH_NOVS", "0")) > 1,
-            normal_oversample=int(os.environ.get("BENCH_NOVS", "0")),
+            normal_approx=int(os.environ.get("BENCH_NOVS", "8")) > 1,
+            normal_oversample=int(os.environ.get("BENCH_NOVS", "8")),
         ),
     )
 

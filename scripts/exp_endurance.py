@@ -47,7 +47,7 @@ SEED = int(os.environ.get("ENDURANCE_SEED", "0"))
 SMALL = os.environ.get("ENDURANCE_SCALE", "") == "small"
 # r5 levers (A/B-able from the env; see BackendConfig for rationale):
 NN_PRECISION = os.environ.get("ENDURANCE_NN", "highest")
-NORMAL_OVERSAMPLE = int(os.environ.get("ENDURANCE_NOVS", "0"))
+NORMAL_OVERSAMPLE = int(os.environ.get("ENDURANCE_NOVS", "8"))
 VERIFY_STRIDE = int(os.environ.get("ENDURANCE_VSTRIDE",
                                    "1" if SMALL else "4"))
 VERIFY_YAWS = int(os.environ.get("ENDURANCE_VYAWS", "4"))

@@ -78,8 +78,8 @@ def _cfg(backend_on: bool):
         pipeline=PipelineConfig(
             mode="scan_to_map", scan_capacity=1536 if SMALL else 16384,
             keyframe_trans=2.5, keyframe_rot=0.3, normal_ref_stride=4,
-            normal_approx=int(os.environ.get("LAP_NOVS", "0")) > 1,
-            normal_oversample=int(os.environ.get("LAP_NOVS", "0")),
+            normal_approx=int(os.environ.get("LAP_NOVS", "8")) > 1,
+            normal_oversample=int(os.environ.get("LAP_NOVS", "8")),
         ),
         backend=BackendConfig(
             enabled=backend_on, min_loop_separation=25, gating_radius=20.0,

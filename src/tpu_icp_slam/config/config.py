@@ -154,12 +154,15 @@ class PipelineConfig:
     # difference; flip off when isolating TPU-vs-CPU accuracy gaps. At
     # plain k the TPU recall is low enough to diverge the flagship lap
     # (BASELINE.md r4 lap sweep) — pair with normal_oversample.
-    normal_oversample: int = 0  # >1 with normal_approx: fetch
+    normal_oversample: int = 8  # >1 with normal_approx: fetch
     # k × oversample approximate candidates, then select the exact top-k
     # among them (values are exact f32; only the SELECTION is approximate,
     # so an oversampled shortlist + exact rescore drives the effective
     # recall toward 1 at a fraction of exact top_k's cost — the same
-    # prefilter+rescore design as nn_precision="rescore"). Flagship: 4.
+    # prefilter+rescore design as nn_precision="rescore"). Measured
+    # on-chip per-neighbor recall at the keyframe shape (r5): plain
+    # approx 0.9855, ovs 4 → 0.9977, ovs 8 → 0.9992 (the flagship
+    # default; lap-validated within the exact-normals accuracy band).
     normal_ref_stride: int = 1  # >1: fit planes against every Nth point
     # (shrinks the keyframe normals distance matrix by the stride; see
     # mapping.normals.normals_knn)
