@@ -93,6 +93,53 @@ def _split_hi_lo(x: jnp.ndarray):
     return hi, lo
 
 
+def fused_tile_shrink(m: int, n: int, tile_m: int, tile_n: int):
+    """VMEM-aware tile shrink for the fused kernel (pure, testable).
+
+    Everything is resident (operands + scratch, ~168 B/src col + ~100
+    B/model col in the transposed layout — the pre-transpose (N, 8)
+    layouts padded 8 lanes to 128 and measured 20.11 MB resident at the
+    flagship regime, a compile-time OOM) PLUS the per-fold temporaries
+    (distance tile f32, one-hot, and Mosaic's intermediate copies).
+    Budget 13 MB of the 16 MB scope leaves slack; callers can still pin
+    tiles via nn_tile_m/n but the shrink is a floor against compile OOM.
+
+    Calibration history (flagship 16,384x16,384, compiler-reported scoped
+    allocations): pre-transpose resident alone was 20.11M; transposed with
+    1024x512 tiles measured 17.67M => resident ~5.8M (the (1, Mp) rows
+    pad 1->8 sublanes) and ~23 B per tile element (Mosaic carries several
+    copies of the distance tile through min/argmin/one-hot).
+    r5 RECALIBRATION: the r4 coefficient was an UNDERESTIMATE — the r5
+    fused A/B still compile-OOMed at the flagship regime (17.61M scoped vs
+    the 16M limit at the shrunken tiles), implying ~47-58 B per tile
+    element on the current kernel (more Mosaic-carried copies through the
+    min/argmin/one-hot/fold chain than r4's measurement). 50 B/elem keeps
+    ~3 MB of headroom at the tiles this now selects — and compiled on the
+    chip for the first time (scripts/exp_fused_smoke.py, r5b queue).
+
+    Returns (tile_m, tile_n, vmem_estimate_bytes). Guarded by
+    tests/test_icp_fused.py::test_vmem_shrink_flagship_regime so a future
+    recalibration can't silently reopen the compile-OOM class.
+    """
+    tile_m_ = min(tile_m, _round_up(m, 128))
+    tile_n_ = min(tile_n, _round_up(n, 128))
+    # the estimate deliberately uses the PRE-shrink padded extents: resident
+    # operand cost does not shrink with the tiles
+    mp = _round_up(m, tile_m_)
+    np_ = _round_up(n, tile_n_)
+
+    def _vmem_est(tm, tn):
+        return mp * 200 + np_ * 120 + tm * tn * 50
+
+    while (tile_n_ > 256 and tile_n_ % 256 == 0
+           and _vmem_est(tile_m_, tile_n_) > 13_000_000):
+        tile_n_ = tile_n_ // 2
+    while (tile_m_ > 256 and tile_m_ % 256 == 0
+           and _vmem_est(tile_m_, tile_n_) > 13_000_000):
+        tile_m_ = tile_m_ // 2
+    return tile_m_, tile_n_, _vmem_est(tile_m_, tile_n_)
+
+
 def _chol6_solve(h, g):
     """Unrolled 6x6 Cholesky solve of H xi = -g on scalars.
 
@@ -680,38 +727,9 @@ def icp_fused_pallas(
     T0 = jnp.eye(4, dtype=f32) if init_T is None else init_T.astype(f32)
 
     # both point axes now live on the LANE dimension (transposed layout):
-    # tiles should be 128-multiples where the sizes allow
-    tile_m_ = min(tile_m, _round_up(m, 128))
-    tile_n_ = min(tile_n, _round_up(n, 128))
-    mp = _round_up(m, tile_m_)
-    np_ = _round_up(n, tile_n_)
-    # VMEM-aware tile shrink: everything is resident (operands + scratch,
-    # ~168 B/src col + ~100 B/model col in the transposed layout — the
-    # pre-transpose (N, 8) layouts padded 8 lanes to 128 and measured
-    # 20.11 MB resident at the flagship regime, a compile-time OOM) PLUS
-    # the per-fold temporaries (distance tile f32, one-hot, and Mosaic's
-    # intermediate copies, ~10 B per tile element). Budget 14 MB leaves
-    # slack; callers can still pin tiles via nn_tile_m/n but the shrink is
-    # a floor against compile OOM.
-    # Calibration history (flagship 16,384x16,384, compiler-reported scoped
-    # allocations): pre-transpose resident alone was 20.11M; transposed with
-    # 1024x512 tiles measured 17.67M => resident ~5.8M (the (1, Mp) rows
-    # pad 1->8 sublanes) and ~23 B per tile element (Mosaic carries several
-    # copies of the distance tile through min/argmin/one-hot).
-    # r5 RECALIBRATION: the r4 coefficient was an UNDERESTIMATE — the r5
-    # fused A/B still compile-OOMed at the flagship regime (17.61M scoped vs
-    # the 16M limit at the shrunken tiles), implying ~47-58 B per tile
-    # element on the current kernel (more Mosaic-carried copies through the
-    # min/argmin/one-hot/fold chain than r4's measurement). 50 B/elem keeps
-    # ~3 MB of headroom at the tiles this now selects.
-    def _vmem_est(tm, tn):
-        return mp * 200 + np_ * 120 + tm * tn * 50
-    while (tile_n_ > 256 and tile_n_ % 256 == 0
-           and _vmem_est(tile_m_, tile_n_) > 13_000_000):
-        tile_n_ = tile_n_ // 2
-    while (tile_m_ > 256 and tile_m_ % 256 == 0
-           and _vmem_est(tile_m_, tile_n_) > 13_000_000):
-        tile_m_ = tile_m_ // 2
+    # tiles should be 128-multiples where the sizes allow. VMEM-aware
+    # shrink + calibration history: see fused_tile_shrink above.
+    tile_m_, tile_n_, _ = fused_tile_shrink(m, n, tile_m, tile_n)
     mp = _round_up(m, tile_m_)
     np_ = _round_up(n, tile_n_)
 

@@ -245,3 +245,27 @@ def test_fused_trust_region_matches_unfused():
         max_total_trans=50.0, max_total_rot=3.0)
     t_err, r_err = _pose_err(T_free, T_clamped)
     assert t_err < 1e-4 and r_err < 1e-4, (t_err, r_err)
+
+
+def test_vmem_shrink_flagship_regime():
+    """The compile-OOM class that blocked the fused A/B for two rounds
+    (BASELINE.md r4/r5) is governed by fused_tile_shrink's estimate: pin
+    it at the regimes the flagship and the A/B arms actually request, so
+    a future recalibration can't silently reopen it. Budget = 13 MB of
+    the 16 MB VMEM scope (the r5 headroom that finally compiled on-chip,
+    scripts/exp_fused_smoke.py)."""
+    from tpu_icp_slam.kernels.icp_fused_pallas import fused_tile_shrink
+
+    # flagship: 16,384 x 16,384 with the default (1024, 2048) request.
+    # (512, 256) is the decision that COMPILED AND RAN on the chip in the
+    # r5b smoke — changing it is a conscious recalibration, not a drive-by.
+    tm, tn, est = fused_tile_shrink(16384, 16384, 1024, 2048)
+    assert (tm, tn) == (512, 256), (tm, tn, est)
+    assert est <= 13_000_000, (tm, tn, est)
+    # the fused_tiles A/B arm requests a full-model fold (2048, 8192):
+    # the shrink must pull it under budget rather than pass it through
+    tm2, tn2, est2 = fused_tile_shrink(16384, 16384, 2048, 8192)
+    assert est2 <= 13_000_000, (tm2, tn2, est2)
+    # shrink never descends below the 256 lane-tile floor
+    tm3, tn3, est3 = fused_tile_shrink(2048, 2048, 1024, 2048)
+    assert tm3 >= 256 and tn3 >= 256 and est3 <= 13_000_000, (tm3, tn3, est3)
