@@ -71,7 +71,11 @@ def _cfg(backend_on: bool):
                           map_voxel=float(os.environ.get("LAP_VOXEL", "0"))
                           or 0.35)
             if SMALL else
-            MappingConfig(map_capacity=131072, local_model_size=16384,
+            # LAP_LMS: local-model-size lever (scripts/exp_local_model.py
+            # gates this arm — coverage risk shows at corners, not straights)
+            MappingConfig(map_capacity=131072,
+                          local_model_size=int(
+                              os.environ.get("LAP_LMS", "16384")),
                           map_voxel=float(os.environ.get("LAP_VOXEL", "0"))
                           or 0.2)
         ),
