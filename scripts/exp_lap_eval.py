@@ -150,17 +150,23 @@ def main() -> int:
     }
     print(json.dumps({"backend": report["backend"]}), flush=True)
 
-    t0 = time.perf_counter()
-    g_poses = golden.odometry(scans, max_iters=30)
-    report["golden"] = {**gt_stats(np.asarray(g_poses)),
-                        "wall_s": round(time.perf_counter() - t0, 1)}
-    # the driver's literal metric: our trajectory vs the golden reference
-    n = min(len(bk_poses), len(g_poses))
-    report["pipeline_vs_golden_ate"] = round(float(em.ate_rmse(
-        bk_poses[:n, :3, 3], np.asarray(g_poses)[:n, :3, 3])), 3)
-    print(json.dumps({"golden": report["golden"],
-                      "pipeline_vs_golden_ate":
-                          report["pipeline_vs_golden_ate"]}), flush=True)
+    if os.environ.get("LAP_NO_GOLDEN"):  # isolation arms: the fp64 oracle
+        # leg costs 10-20 CPU-min and is already on record for this regime
+        # (BASELINE.md lap-scale golden rows) — skip for sweep arms that
+        # only compare pipeline configs against GT
+        print(json.dumps({"golden": "skipped (LAP_NO_GOLDEN)"}), flush=True)
+    else:
+        t0 = time.perf_counter()
+        g_poses = golden.odometry(scans, max_iters=30)
+        report["golden"] = {**gt_stats(np.asarray(g_poses)),
+                            "wall_s": round(time.perf_counter() - t0, 1)}
+        # the driver's literal metric: our trajectory vs the golden ref
+        n = min(len(bk_poses), len(g_poses))
+        report["pipeline_vs_golden_ate"] = round(float(em.ate_rmse(
+            bk_poses[:n, :3, 3], np.asarray(g_poses)[:n, :3, 3])), 3)
+        print(json.dumps({"golden": report["golden"],
+                          "pipeline_vs_golden_ate":
+                              report["pipeline_vs_golden_ate"]}), flush=True)
 
     out_dir = os.environ.get("LAP_OUT", "/tmp/lap_eval")
     os.makedirs(out_dir, exist_ok=True)

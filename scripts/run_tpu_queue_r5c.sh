@@ -55,10 +55,10 @@ stage() {  # stage <name> <timeout_s> <cmd...>
 
 stage lm_ab 3600 python scripts/exp_local_model.py
 
-stage lap_lm8192 7200 env LAP_SCALE=full LAP_NN=highest LAP_LMS=8192 \
+stage lap_lm8192 7200 env LAP_SCALE=full LAP_NN=highest LAP_LMS=8192 LAP_NO_GOLDEN=1 \
   python scripts/exp_lap_eval.py
 
-stage lap_smallx 7200 env LAP_SCALE=full LAP_NN=highest LAP_LMS=4096 \
+stage lap_smallx 7200 env LAP_SCALE=full LAP_NN=highest LAP_LMS=4096 LAP_NO_GOLDEN=1 \
   LAP_VOXEL=0.35 python scripts/exp_lap_eval.py
 
 stage bench_default 2400 python bench.py
