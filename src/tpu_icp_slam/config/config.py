@@ -230,6 +230,13 @@ class BackendConfig:
     # 24.8 at 10.0 — BASELINE.md r4). Residual-blind frames (degenerate
     # geometry that converges happily) still escape this signal; closure
     # DENSITY (multi-lap revisits) is the structural fix.
+    strain_on_clamp: bool = False  # also count frames whose ICP correction
+    # sits ON the total-correction trust-region ball (infos["clamped"]) as
+    # strained. Forensic basis (endurance3b, BASELINE.md r5b): the lap-4
+    # walk-off accrued EXACTLY the ball radius per frame for ~43 straight
+    # frames while iteration-strain stayed silent (ICP "converged" at the
+    # boundary) — a pegged trust region is the solver saying it wanted to
+    # go further. Opt-in so recorded runs reproduce; flip after a lap A/B.
     suspect_cycle: float = 1.0  # metres-equivalent PCM cycle score above
     # which an ACCEPTED closure is flagged suspect in reports/saved maps —
     # aliases the whole graph agrees on can't be rejected (DESIGN.md §13)

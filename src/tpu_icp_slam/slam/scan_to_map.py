@@ -233,6 +233,27 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
     pose = init @ res.T  # world pose = prediction ∘ sensor-frame correction
     T_rel = se3.inverse(state.pose) @ pose
 
+    # trust-region binding flag (post-hoc, backend-agnostic — works for the
+    # steps loop AND the fused kernel): the align runs in the predicted
+    # sensor frame with identity init, so ‖log(res.T)‖ sitting ON the
+    # max_total_trans/rot ball means the projection clamped the correction
+    # — the solver wanted to go further. Endurance forensics (BASELINE.md
+    # r5b) show constant-radius walk-off segments that are iteration-strain
+    # silent; this flag is the signal that catches them
+    # (BackendConfig.strain_on_clamp feeds it into odometry factor weights).
+    ic = cfg.icp
+    clamped = jnp.asarray(False)
+    if ic.max_total_trans > 0.0 or ic.max_total_rot > 0.0:
+        xi_corr = se3.log(res.T)
+        if ic.max_total_trans > 0.0:
+            clamped = (jnp.linalg.norm(xi_corr[:3])
+                       >= 0.995 * ic.max_total_trans)
+        if ic.max_total_rot > 0.0:
+            clamped = jnp.logical_or(
+                clamped,
+                jnp.linalg.norm(xi_corr[3:]) >= 0.995 * ic.max_total_rot,
+            )
+
     dK = se3.inverse(state.last_kf_pose) @ pose
     trans = jnp.linalg.norm(dK[:3, 3])
     rot = se3.rotation_geodesic(dK[:3, :3], jnp.eye(3, dtype=dK.dtype))
@@ -323,6 +344,7 @@ def _step(state: MapOdomState, points, mask, *, cfg: SlamConfig):
         "iters": res.iters,
         "n_inliers": res.n_inliers,
         "converged": res.converged,
+        "clamped": clamped,
         "is_keyframe": is_kf,
         "map_inserted": is_map_insert,
         "map_points": voxel_map.count(vm),

@@ -186,10 +186,15 @@ class Slam3D:
                 )
                 all_poses = np.asarray(infos["pose"], np.float64)  # readback
                 kf_flags = np.asarray(infos["is_keyframe"])  # = honest fence
-                strain.extend((
+                chunk_strain = (
                     (np.asarray(infos["iters"]) >= cfg.icp.max_iters)
                     & ~np.asarray(infos["converged"])
-                ).tolist())
+                )
+                if cfg.backend.strain_on_clamp and "clamped" in infos:
+                    # trust-region-pegged frames (see BackendConfig): the
+                    # iteration-strain-silent walk-off class
+                    chunk_strain |= np.asarray(infos["clamped"])
+                strain.extend(chunk_strain.tolist())
                 self.chunk_stats.append(
                     (f0, f1 - f0, _time.perf_counter() - t0)
                 )
@@ -228,7 +233,8 @@ class Slam3D:
                 strain.append(bool(
                     int(info["iters"]) >= cfg.icp.max_iters
                     and not bool(info["converged"])
-                ))
+                ) or (cfg.backend.strain_on_clamp
+                      and bool(info.get("clamped", False))))
                 poses.append(pose)
                 if bool(info["is_keyframe"]):
                     on_keyframe(f, pose)

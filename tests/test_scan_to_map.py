@@ -341,3 +341,46 @@ def test_voxel_insert_spatial_eviction():
     kept_x = np.sort(np.asarray(vm.points[vm.mask])[:, 0])
     # all 8 near points (x 0..7) must have displaced the far ones (x 50..57)
     np.testing.assert_allclose(kept_x, np.arange(8), atol=1e-6)
+
+
+def test_clamped_flag_signals_trust_region_binding():
+    """infos["clamped"] (r5b): a frame whose motion outruns the total-
+    correction trust-region ball must be flagged (the solver's correction
+    sits ON the ball); ordinary tracking frames must not. This is the
+    iteration-strain-silent walk-off signal (BASELINE.md r5b endurance
+    forensics) that BackendConfig.strain_on_clamp feeds into pose-graph
+    odometry weights."""
+    import dataclasses
+
+    from tpu_icp_slam.core.pointcloud import voxel_downsample_np
+    from tpu_icp_slam.slam.scan_to_map import ScanToMapPipeline
+
+    scans, gt = synthetic.velodyne_log(
+        n_frames=8, n_rings=16, n_azimuth=320, path_fraction=0.1
+    )
+    scans = [voxel_downsample_np(s, 0.4) for s in scans]
+    base = _s2m_cfg()
+    cfg = dataclasses.replace(
+        base, icp=dataclasses.replace(
+            base.icp, max_total_trans=1.0, max_total_rot=0.5
+        )
+    )
+    pts, msk = pad_scans(scans, cfg.pipeline.scan_capacity)
+    pipe = ScanToMapPipeline(cfg)
+
+    # normal tracking (~1.5 m/frame): frame 0's correction pegs (the CV
+    # model starts at zero velocity) but once the prediction warms up the
+    # corrections drop well inside the 1.0 m ball — steady frames must
+    # not all flag
+    state = pipe.init_state(pts[0], msk[0])
+    state, infos = pipe.run_fused(state, pts[1:], msk[1:])
+    clamped = np.asarray(infos["clamped"])
+    assert clamped.shape == (len(scans) - 1,)
+    assert not clamped[1:].all(), "steady tracking flagged every frame"
+
+    # teleport: frame 5's scan jumped ~3 m beyond any prediction — the
+    # correction must peg the 1.0 m ball and flag
+    jump = scans[5] + np.asarray([3.0, 0.0, 0.0], np.float32)
+    pts_j, msk_j = pad_scans([jump], cfg.pipeline.scan_capacity)
+    _, info_j = pipe.step(state, pts_j[0], msk_j[0])
+    assert bool(info_j["clamped"]), "3 m teleport did not peg the 1.0 m ball"
