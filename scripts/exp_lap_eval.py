@@ -105,6 +105,12 @@ def main() -> int:
     from tpu_icp_slam.slam.slam3d import Slam3D
 
     rings, azim, dsv = (14, 288, 0.45) if SMALL else (48, 1024, 0.15)
+    # LAP_DSV: scan-voxel override at full scale — the scan-DENSITY arm of
+    # the item-6 residual chase (DESIGN.md §18 r5d verdict): full-scale
+    # geometry/sensor with small-scale-class point budgets isolates scan
+    # density as the last untried single factor
+    if not SMALL:
+        dsv = float(os.environ.get("LAP_DSV", "0")) or dsv
     scans, gt = synthetic.velodyne_log(
         n_frames=FRAMES, n_rings=rings, n_azimuth=azim, seed=0,
         waypoints=np.asarray(_LAP, np.float64),
