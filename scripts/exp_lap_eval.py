@@ -109,8 +109,13 @@ def main() -> int:
     # the item-6 residual chase (DESIGN.md §18 r5d verdict): full-scale
     # geometry/sensor with small-scale-class point budgets isolates scan
     # density as the last untried single factor
+    # LAP_RINGS/LAP_AZIM: sensor angular-sampling override — after density
+    # was refuted (BASELINE.md r5d), the sensor pattern (ring spacing /
+    # grazing geometry) is the last cross-scale difference standing
     if not SMALL:
         dsv = float(os.environ.get("LAP_DSV", "0")) or dsv
+        rings = int(os.environ.get("LAP_RINGS", "0")) or rings
+        azim = int(os.environ.get("LAP_AZIM", "0")) or azim
     scans, gt = synthetic.velodyne_log(
         n_frames=FRAMES, n_rings=rings, n_azimuth=azim, seed=0,
         waypoints=np.asarray(_LAP, np.float64),
